@@ -1,0 +1,104 @@
+"""Public entry point: make_solver — the analogue of the reference's
+spcies_gen_controller.m "generate a solver" flow, except the product is a
+jit-compiled batched TPU solve function instead of a C file.
+
+The (formulation, method, submethod) -> builder dispatch mirrors the
+reference's name-mangled `cons_*` eval dispatch
+(spcies_gen_controller.m:111-130) via an explicit registry
+(formulations.base.BUILDERS).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spcies_tpu.config import Options, default_options
+
+
+def broadcast_inputs(dtype, *arrays):
+    """Promote per-call inputs to batched [B, dim] jnp arrays; scalars /
+    single problems ([dim]) get a singleton batch dim. All inputs must agree
+    on B."""
+    out = []
+    B = None
+    for a in arrays:
+        a = jnp.asarray(a, dtype)
+        if a.ndim == 1:
+            a = a[None, :]
+        if B is None:
+            B = a.shape[0]
+        elif a.shape[0] == 1 and B > 1:
+            a = jnp.broadcast_to(a, (B,) + a.shape[1:])
+        elif a.shape[0] != B:
+            if B == 1:
+                B = a.shape[0]
+                out = [jnp.broadcast_to(o, (B,) + o.shape[1:]) for o in out]
+            else:
+                raise ValueError("inconsistent batch sizes in solver inputs")
+        out.append(a)
+    return out
+
+
+class BatchedSolver:
+    """A generated batched solver: callable with (x0, xr, ur[, warm start]).
+
+    Plays the role of the reference's generated MEX/C solver function
+    `<formulation>_<method>(x0, xr, ur, ...) -> (u_opt, k, e_flag, sol)`
+    (header_laxMPC_ADMM_C.h:24-28), but batched: inputs may be [n] (single
+    problem) or [B, n].
+    """
+
+    def __init__(self, solve_fn, ingredients: dict, options: Options,
+                 *, n: int, m: int, N: int, nz: int, dtype,
+                 input_names=("x0", "xr", "ur")):
+        self.ingredients = ingredients
+        self.options = options
+        self.n, self.m, self.N, self.nz = n, m, N, nz
+        self.dtype = dtype
+        self.input_names = input_names
+        # solve_fn(x0, xr, ur, init, fixed_iters) with static fixed_iters
+        self._jitted = jax.jit(solve_fn, static_argnums=(4,))
+
+    def __call__(self, *inputs, init=None, fixed_iters=None):
+        inputs = broadcast_inputs(self.dtype, *inputs)
+        return self._jitted(*inputs, init, fixed_iters)
+
+    def solve(self, *inputs, **kw):
+        return self(*inputs, **kw)
+
+
+def make_solver(sys: dict, param: dict, *, formulation: str,
+                method: str = "", submethod: str = "",
+                options: Options | dict | None = None,
+                backend: str = "dense", **solver_overrides) -> BatchedSolver:
+    """Build a batched TPU solver for the given system + MPC parameters.
+
+    sys:   dict with A, B, LBx, UBx, LBu, UBu (reference `sys` struct)
+    param: dict with the formulation's ingredients (Q, R, N, ...; reference
+           `param` struct)
+    """
+    if options is None:
+        opt = default_options(formulation, method, submethod,
+                              **solver_overrides)
+    elif isinstance(options, dict):
+        opt = Options(formulation=formulation, method=method,
+                      submethod=submethod,
+                      solver={**options, **solver_overrides})
+    else:
+        opt = options
+        opt.formulation = opt.formulation or formulation
+        if method:
+            opt.method = method
+        if submethod:
+            opt.submethod = submethod
+        opt.solver.update(solver_overrides)
+        opt.resolve()
+
+    from spcies_tpu.formulations.base import get_builder
+    builder = get_builder(opt.formulation, opt.method, opt.submethod)
+    return builder(sys, param, opt, backend=backend)

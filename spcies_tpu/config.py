@@ -1,0 +1,178 @@
+"""Options and solver-compatibility registry.
+
+Mirrors the reference's central config object `classes/Spcies_options.m`:
+  - validated formulation/method/submethod enums and their compatibility
+    matrix (Spcies_options.m:63-86),
+  - per-(formulation, method, submethod) solver defaults resolved by name
+    (Spcies_options.m:477-516 -> def_options_* files),
+  - general toolbox options (Spcies_options.m:24-38).
+
+Design difference (TPU-first): options that the reference lowers to C
+`#define`s gating template code paths (DEBUG, TIME_VARYING, IS_DIAG,
+SCALAR_RHO, ...) become static Python booleans here; JAX specializes the
+traced program on them at jit time, which plays the exact same role as the
+preprocessor did — but with runtime problem *data* still free to vary, so
+every solver supports time-varying data for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Compatibility registry (reference: classes/Spcies_options.m:69-106)
+# ---------------------------------------------------------------------------
+
+# formulation -> tuple of accepted methods
+METHODS_BY_FORMULATION: dict[str, tuple[str, ...]] = {
+    "laxMPC": ("ADMM", "FISTA"),
+    "equMPC": ("ADMM", "FISTA"),
+    "ellipMPC": ("ADMM",),
+    "MPCT": ("EADMM", "ADMM"),
+    "HMPC": ("ADMM", "SADMM"),
+    "ellipHMPC": ("ADMM",),
+    "personal": (),  # user plugin escape hatch: any method accepted
+}
+
+# (formulation, method) -> tuple of accepted submethods ('' = none)
+SUBMETHODS: dict[tuple[str, str], tuple[str, ...]] = {
+    ("laxMPC", "ADMM"): ("",),
+    ("laxMPC", "FISTA"): ("",),
+    ("equMPC", "ADMM"): ("",),
+    ("equMPC", "FISTA"): ("",),
+    ("ellipMPC", "ADMM"): ("", "soc"),
+    ("MPCT", "EADMM"): ("",),
+    ("MPCT", "ADMM"): ("cs", "semiband"),
+    ("HMPC", "ADMM"): ("", "split"),
+    ("HMPC", "SADMM"): ("split",),
+    ("ellipHMPC", "ADMM"): ("",),
+}
+
+# default (method, submethod) per formulation (Spcies_options.m:89-106)
+DEFAULT_METHOD: dict[str, tuple[str, str]] = {
+    "laxMPC": ("ADMM", ""),
+    "equMPC": ("ADMM", ""),
+    "ellipMPC": ("ADMM", ""),
+    "MPCT": ("EADMM", ""),
+    "HMPC": ("ADMM", ""),
+    "ellipHMPC": ("ADMM", ""),
+}
+
+# The 11 shipped solver triples + their default solver-option dicts.
+# Values mirror the def_options_* files cited per entry.
+SOLVER_REGISTRY: dict[tuple[str, str, str], dict[str, Any]] = {
+    # formulations/+laxMPC/def_options_laxMPC_ADMM.m:82-89
+    ("laxMPC", "ADMM", ""): dict(rho=1e-2, tol=1e-4, k_max=1000,
+                                 force_vector_rho=False),
+    # formulations/+laxMPC/def_options_laxMPC_FISTA.m:107-112
+    ("laxMPC", "FISTA", ""): dict(tol=1e-4, k_max=1000),
+    # formulations/+equMPC/def_options_equMPC_ADMM.m
+    ("equMPC", "ADMM", ""): dict(rho=1e-2, tol=1e-4, k_max=1000,
+                                 force_vector_rho=False),
+    # formulations/+equMPC/def_options_equMPC_FISTA.m
+    ("equMPC", "FISTA", ""): dict(tol=1e-4, k_max=1000),
+    # formulations/+ellipMPC/def_options_ellipMPC_ADMM.m
+    ("ellipMPC", "ADMM", ""): dict(rho=1e-2, tol=1e-4, k_max=1000,
+                                   force_vector_rho=False),
+    # formulations/+ellipMPC/def_options_ellipMPC_ADMM_soc.m
+    ("ellipMPC", "ADMM", "soc"): dict(rho=1e-2, sigma=1e-4, tol_p=1e-4,
+                                      tol_d=1e-4, k_max=1000),
+    # formulations/+MPCT/def_options_MPCT_EADMM.m:19-28
+    ("MPCT", "EADMM", ""): dict(rho_base=3.0, rho_mult=20.0, tol=1e-4,
+                                k_max=1000),
+    # formulations/+MPCT/def_options_MPCT_ADMM_cs.m:14-25
+    ("MPCT", "ADMM", "cs"): dict(rho=1e-2, tol=1e-4, k_max=1000,
+                                 epsilon_x=1e-6, epsilon_u=1e-6),
+    # formulations/+MPCT/def_options_MPCT_ADMM_semiband.m:15-30
+    ("MPCT", "ADMM", "semiband"): dict(rho=1e-2, tol_p=1e-4, tol_d=1e-4,
+                                       k_max=1000, epsilon_x=1e-6,
+                                       epsilon_u=1e-6, epsilon_y=1e-6,
+                                       inf_value=1e6,
+                                       soft_constraints=False,
+                                       constrained_output=False, beta=10.0),
+    # formulations/+HMPC/def_options_HMPC_ADMM.m:25-37
+    ("HMPC", "ADMM", ""): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4, tol_d=1e-4,
+                               k_max=1000, box_constraints=False,
+                               sparse=False, use_soc=False),
+    ("HMPC", "ADMM", "split"): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4,
+                                    tol_d=1e-4, k_max=1000,
+                                    box_constraints=False, sparse=False,
+                                    use_soc=False),
+    # formulations/+HMPC/def_options_HMPC_SADMM.m (delegates to ADMM + alpha)
+    ("HMPC", "SADMM", "split"): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4,
+                                     tol_d=1e-4, k_max=1000,
+                                     box_constraints=False, sparse=False,
+                                     use_soc=False, alpha=0.95),
+    # formulations/+HMPC/def_options_ellipHMPC_ADMM.m:18-31
+    ("ellipHMPC", "ADMM", ""): dict(rho=1e-2, sigma=0.0, tol_p=1e-4,
+                                    tol_d=1e-4, k_max=1000),
+}
+
+
+@dataclasses.dataclass
+class Options:
+    """Toolbox-level options (reference: Spcies_options.m:24-38) plus the
+    open per-method `solver` dict (reference `options.solver` struct)."""
+
+    formulation: str = ""
+    method: str = ""
+    submethod: str = ""
+    # general options, same names as the reference
+    precision: str = "double"      # {'double','float'} -> fp64 / fp32
+    inf_value: float = 1e30        # reference clamps inf to 1e20 in codegen
+    debug: bool = False            # return full iterates (C `DEBUG` define)
+    timing: bool = True            # collect phase timings (MEASURE_TIME)
+    in_engineering: bool = False   # engineering-units scaling (scale_ss)
+    time_varying: bool = False     # per-call (A,B,Q,R,LB,UB) data
+    force_diagonal: bool = False
+    verbose: int = 1
+    # solver-specific knobs (rho, tol, k_max, ...)
+    solver: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.formulation:
+            self.resolve()
+
+    def resolve(self) -> "Options":
+        """Validate the triple and fill solver defaults (mirrors
+        Spcies_options.to_default_from_selection, Spcies_options.m:477-516)."""
+        f, m, s = self.formulation, self.method, self.submethod
+        if f != "personal":
+            if f not in METHODS_BY_FORMULATION:
+                raise ValueError(
+                    f"Unknown formulation {f!r}; must be one of "
+                    f"{sorted(METHODS_BY_FORMULATION)}")
+            if not m:
+                m, s = DEFAULT_METHOD[f]
+                self.method, self.submethod = m, s
+            if m not in METHODS_BY_FORMULATION[f]:
+                raise ValueError(
+                    f"Method {m!r} not available for formulation {f!r}; "
+                    f"accepted: {METHODS_BY_FORMULATION[f]}")
+            if (f, m) in SUBMETHODS and s not in SUBMETHODS[(f, m)]:
+                raise ValueError(
+                    f"Submethod {s!r} not available for ({f}, {m}); "
+                    f"accepted: {SUBMETHODS[(f, m)]}")
+            defaults = SOLVER_REGISTRY.get((f, m, s), {})
+            for key, val in defaults.items():
+                self.solver.setdefault(key, val)
+        if self.precision not in ("double", "float"):
+            raise ValueError("precision must be 'double' or 'float'")
+        return self
+
+    @property
+    def np_dtype(self):
+        return np.float64 if self.precision == "double" else np.float32
+
+
+def default_options(formulation: str, method: str = "",
+                    submethod: str = "", **solver_overrides) -> Options:
+    """Build a resolved Options for a solver triple, with solver-level
+    overrides (rho=, tol=, k_max=, ...) applied on top of the registered
+    defaults."""
+    opts = Options(formulation=formulation, method=method,
+                   submethod=submethod, solver=dict(solver_overrides))
+    return opts

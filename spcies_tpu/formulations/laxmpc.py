@@ -1,0 +1,201 @@
+"""laxMPC formulation — MPC with a terminal cost (no terminal constraint).
+
+    min  sum_{i=0}^{N-1} (||x_i - xr||_Q^2 + ||u_i - ur||_R^2) + ||x_N - xr||_T^2
+    s.t. x_{i+1} = A x_i + B u_i,  LB <= (x_i, u_i) <= UB
+
+Decision vector z = (u_0, x_1, u_1, ..., x_{N-1}, u_{N-1}, x_N), dim N(n+m).
+Reference: formulations/+laxMPC/compute_laxMPC_ADMM_ingredients.m (offline
+math), code_laxMPC_ADMM_C.c:308-633 (ADMM loop), TCST 2020 eq. (9).
+
+TPU-native design, two interchangeable z-step backends:
+  'dense'  — the whole equality-QP solve collapsed offline into one affine
+             map z = M_q q_hat + M_b b0 (one [B,nz]x[nz,nz] MXU matmul per
+             iteration). Algebraically identical to the reference's
+             band-solve; best for the contracted small horizons.
+  'banded' — structured blockwise RHS build + Alpha/Beta banded Cholesky
+             scans (kernels.band_chol), O(N n^2) memory like the reference;
+             scales to long horizons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spcies_tpu.config import Options
+from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
+                                          get_bounds)
+from spcies_tpu.utils import linalg
+from spcies_tpu.utils.projections import proj_box
+from spcies_tpu.solvers.admm import admm_solve
+from spcies_tpu.solvers.common import SolveResult
+from spcies_tpu.api import BatchedSolver, broadcast_inputs
+
+
+def laxmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
+    """Offline ingredient computation, the analogue of
+    compute_laxMPC_ADMM_ingredients.m:22-187 (all fp64 numpy)."""
+    A, B, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], dtype=float)
+    R = np.asarray(param["R"], dtype=float)
+    T = np.asarray(param["T"], dtype=float)
+    if not (np.allclose(Q, np.diag(np.diag(Q))) and
+            np.allclose(R, np.diag(np.diag(R)))):
+        raise ValueError("laxMPC/ADMM requires diagonal Q and R "
+                         "(compute_laxMPC_ADMM_ingredients.m:50-52)")
+    Qd, Rd = np.diag(Q).copy(), np.diag(R).copy()
+    nz = N * (n + m)
+
+    # rho layout (scalar or vector; compute_laxMPC_ADMM_ingredients.m:55-64)
+    rho = np.asarray(opt.solver["rho"], dtype=float)
+    force_vec = bool(opt.solver.get("force_vector_rho", False))
+    rho_is_scalar = rho.ndim == 0 and not force_vec
+    rho_vec = np.full(nz, float(rho)) if rho.ndim == 0 else rho.ravel().copy()
+    if rho_vec.size != nz:
+        raise ValueError(f"rho vector must have length {nz}")
+
+    # Hessian Hhat = blkdiag(R, I_{N-1} (x) blkdiag(Q, R), T) + diag(rho)
+    H = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T)
+    Hhat = H + np.diag(rho_vec)
+
+    # Banded equality matrix and W = G Hhat^{-1} G^T
+    G = linalg.mpc_equality_matrix(A, B, N)
+    Hinv = np.linalg.inv(Hhat)
+    W = G @ Hinv @ G.T
+    Alpha, Beta = linalg.band_chol_blocks(W, n, N)
+
+    # Dense affine z-update maps: z = M_q q_hat + M_b b0 with
+    # z = -Hinv(q_hat + G' mu), W mu = -G Hinv q_hat - beq, beq = [b0; 0].
+    GH = G @ Hinv                      # [N n, nz]
+    K = np.linalg.solve(W, GH)         # W^{-1} G Hinv
+    M_q = GH.T @ K - Hinv              # [nz, nz]
+    M_b = GH.T @ np.linalg.inv(W)[:, :n]   # [nz, n]
+
+    # Stage bounds stacked over the decision vector
+    # (LB = [LBx; LBu], v_0 clipped by LBu, v_N by LBx:
+    #  code_laxMPC_ADMM_C.c:487-537)
+    LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
+    LB_z = np.concatenate([LBu] + [np.concatenate([LBx, LBu])] * (N - 1) + [LBx])
+    UB_z = np.concatenate([UBu] + [np.concatenate([UBx, UBu])] * (N - 1) + [UBx])
+
+    # Structured pieces for the banded backend (reference vars.Hi* layout,
+    # compute_laxMPC_ADMM_ingredients.m:140-147)
+    Hi_0 = np.diag(Hinv)[:m].copy()
+    Hi_mid = np.diag(Hinv)[m:m + (N - 1) * (n + m)].reshape(N - 1, n + m)
+    Hi_N = Hinv[-n:, -n:].copy()
+
+    return dict(
+        n=n, m=m, N=N, nz=nz, rho_is_scalar=rho_is_scalar,
+        A=A, B=B, AB=np.hstack([A, B]), Qd=Qd, Rd=Rd, T=T,
+        rho_vec=rho_vec, rho_inv_vec=1.0 / rho_vec,
+        rho_scalar=float(rho) if rho.ndim == 0 else None,
+        M_q=M_q, M_b=M_b, LB_z=LB_z, UB_z=UB_z,
+        Alpha=Alpha, Beta=Beta,
+        Hi_0=Hi_0, Hi_mid=Hi_mid, Hi_N=Hi_N,
+        scaling_x=np.asarray(sys.get("Nx", np.ones(n)), float).ravel(),
+        scaling_u=np.asarray(sys.get("Nu", np.ones(m)), float).ravel(),
+        op_x=np.asarray(sys.get("x0", np.zeros(n)), float).ravel(),
+        op_u=np.asarray(sys.get("u0", np.zeros(m)), float).ravel(),
+    )
+
+
+def _q_ref(ing, xr, ur, dtype):
+    """Per-call linear cost q_ref = (-R ur, [-Q xr, -R ur] x (N-1), -T xr),
+    the reference's baked-negated q update (code_laxMPC_ADMM_C.c:288-298
+    with vars.Q = -diag(Q) etc.)."""
+    Qd = jnp.asarray(ing["Qd"], dtype)
+    Rd = jnp.asarray(ing["Rd"], dtype)
+    T = jnp.asarray(ing["T"], dtype)
+    qx = -xr * Qd
+    qu = -ur * Rd
+    qT = -(xr @ T.T)
+    mid = jnp.concatenate([qx, qu], axis=-1)
+    mid_tiled = jnp.tile(mid, (1, ing["N"] - 1))
+    return jnp.concatenate([qu, mid_tiled, qT], axis=-1)
+
+
+@register_builder("laxMPC", "ADMM")
+def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
+                      backend: str = "dense") -> BatchedSolver:
+    ing = laxmpc_admm_ingredients(sys, param, opt)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+
+    rho = (dtype(ing["rho_scalar"]) if ing["rho_is_scalar"]
+           else jnp.asarray(ing["rho_vec"], dtype))
+    rho_i = (dtype(1.0 / ing["rho_scalar"]) if ing["rho_is_scalar"]
+             else jnp.asarray(ing["rho_inv_vec"], dtype))
+    LB_z = jnp.asarray(ing["LB_z"], dtype)
+    UB_z = jnp.asarray(ing["UB_z"], dtype)
+    A = jnp.asarray(ing["A"], dtype)
+
+    if backend == "dense":
+        M_q = jnp.asarray(ing["M_q"], dtype)
+        M_b = jnp.asarray(ing["M_b"], dtype)
+
+        def make_z_step(b0):
+            def z_step(q_hat):
+                return q_hat @ M_q.T + b0 @ M_b.T
+            return z_step
+    elif backend == "banded":
+        from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
+        Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
+        Alpha = jnp.asarray(Alpha_np, dtype)
+        BetaInv = jnp.asarray(BetaInv_np, dtype)
+        AB = jnp.asarray(ing["AB"], dtype)
+        Hi_0 = jnp.asarray(ing["Hi_0"], dtype)
+        Hi_mid = jnp.asarray(ing["Hi_mid"], dtype)
+        Hi_N = jnp.asarray(ing["Hi_N"], dtype)
+        Bmat = jnp.asarray(ing["B"], dtype)
+
+        def make_z_step(b0):
+            def z_step(q_hat):
+                Bsz = q_hat.shape[0]
+                q0 = q_hat[:, :m]
+                qm = q_hat[:, m:m + (N - 1) * (n + m)].reshape(Bsz, N - 1, n + m)
+                qN = q_hat[:, -n:]
+                # RHS of W mu = -G Hinv q_hat - beq, built blockwise
+                # (code_laxMPC_ADMM_C.c:355-381)
+                hq_mid = Hi_mid * qm                       # [B, N-1, n+m]
+                hq_0 = Hi_0 * q0                           # [B, m]
+                hq_N = qN @ Hi_N.T                         # [B, n]
+                rhs0 = hq_mid[:, 0, :n] - b0 - hq_0 @ Bmat.T
+                rhs_mid = hq_mid[:, 1:, :n] - jnp.einsum(
+                    "blj,ij->bli", hq_mid[:, :-1], AB)
+                rhsN = hq_N - hq_mid[:, -1] @ AB.T
+                rhs = jnp.concatenate(
+                    [rhs0[:, None], rhs_mid, rhsN[:, None]], axis=1)
+                mu = band_chol_solve(rhs, Alpha, BetaInv)   # [B, N, n]
+                # z recovery z = -Hinv (q_hat + G^T mu)
+                # (code_laxMPC_ADMM_C.c:453-485)
+                z0 = -Hi_0 * (q0 + mu[:, 0] @ Bmat)
+                gmu_x = jnp.concatenate(
+                    [-mu[:, :-1], jnp.zeros((Bsz, N - 1, m), dtype)], axis=-1)
+                gmu_next = jnp.einsum("bli,ij->blj", mu[:, 1:], AB)
+                zm = -Hi_mid * (qm + gmu_x + gmu_next)
+                zN = -((qN - mu[:, -1]) @ Hi_N.T)
+                return jnp.concatenate(
+                    [z0, zm.reshape(Bsz, -1), zN], axis=-1)
+            return z_step
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def proj(y):
+        return proj_box(y, LB_z, UB_z)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        b0 = -(x0 @ A.T)
+        q_ref = _q_ref(ing, xr, ur, dtype)
+        z, v, lam, k, e_flag, r_p, r_d = admm_solve(
+            make_z_step(b0), proj, q_ref, rho, rho_i, tol, tol, k_max,
+            batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
+            fixed_iters=fixed_iters)
+        u = v[:, :m]
+        return SolveResult(u=u, k=k, e_flag=e_flag,
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

@@ -1,0 +1,87 @@
+"""Dense fp64 numpy reference solvers — the in-repo test oracle.
+
+These mirror the reference's non-sparse MATLAB solvers
+(platforms/Matlab/spcies_*_solver.m) and their dense helpers
+solve_eqQP.m / solve_boxQP.m: readable, per-problem, no batching, no JAX.
+The differential tests require the batched TPU solvers to agree with these
+to ~1e-9 class tolerances in fp64 (the reference's sparse-vs-oracle contract
+is 1e-10, tests/spcies_tester.m:260).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spcies_tpu.utils import linalg
+
+
+def solve_eq_qp(Hinv, G, W, q, b):
+    """Equality-constrained QP: min 0.5 z'H z + q'z s.t. G z = b, given
+    Hinv and W = G Hinv G' (platforms/Matlab/solve_eqQP.m:16-27)."""
+    mu = np.linalg.solve(W, -G @ (Hinv @ q) - b)
+    return -Hinv @ (q + G.T @ mu)
+
+
+def solve_box_qp(y, lb, ub):
+    """Box projection (platforms/Matlab/solve_boxQP.m:44-63)."""
+    return np.clip(y, lb, ub)
+
+
+def laxmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
+                       k_max=1000):
+    """Reference-faithful dense ADMM for laxMPC
+    (platforms/Matlab/spcies_laxMPC_ADMM_solver.m:242-321).
+
+    Returns (u, k, e_flag, sol) with sol = dict(z, v, lam, r_p, r_d).
+    """
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    nz = N * (n + m)
+
+    rho_vec = np.full(nz, float(rho)) if np.isscalar(rho) else np.asarray(rho)
+    H = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T)
+    Hhat = H + np.diag(rho_vec)
+    Hinv = np.linalg.inv(Hhat)
+    G = linalg.mpc_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1)
+                        + [sys["LBx"]])
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1)
+                        + [sys["UBx"]])
+
+    Qd, Rd = np.diag(Q), np.diag(R)
+    q_ref = np.concatenate([-Rd * ur]
+                           + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1)
+                           + [-(T @ xr)])
+    beq = np.zeros(N * n)
+    beq[:n] = -A @ x0
+
+    z = np.zeros(nz)
+    v = np.zeros(nz)
+    lam = np.zeros(nz)
+    k = 0
+    e_flag = 0
+    r_p = r_d = np.inf
+    while e_flag == 0:
+        k += 1
+        v_prev = v
+        q_hat = q_ref + lam - rho_vec * v
+        z = solve_eq_qp(Hinv, G, W, q_hat, beq)
+        v = solve_box_qp(z + lam / rho_vec, LB, UB)
+        lam = lam + rho_vec * (z - v)
+        r_p = np.max(np.abs(z - v))
+        r_d = np.max(np.abs(v - v_prev))
+        if r_p <= tol and r_d <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    u = v[:m].copy()
+    return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)

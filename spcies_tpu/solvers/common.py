@@ -1,0 +1,35 @@
+"""Shared solver result container and termination helpers."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    """Batched solve output, the analogue of the reference's
+    (u_opt, k, e_flag, sol) C interface (header_laxMPC_ADMM_C.h:14-28).
+
+    All arrays carry a leading batch dim B.
+      u:      [B, m]  first control move (the reference's u_opt = v_0)
+      k:      [B]     iterations performed per lane (int32)
+      e_flag: [B]     1 = converged, -1 = k_max reached (int32)
+      sol:    dict of final iterates / residuals (the DEBUG `sol` struct);
+              always populated — it is free under jit.
+    """
+
+    u: jnp.ndarray
+    k: jnp.ndarray
+    e_flag: jnp.ndarray
+    sol: dict[str, Any]
+
+
+def inf_norm(x, axis=-1):
+    """Per-lane infinity norm, the reference's residual metric
+    (code_laxMPC_ADMM_C.c:570-620 early-break scan is equivalent)."""
+    return jnp.max(jnp.abs(x), axis=axis)

@@ -1,0 +1,67 @@
+"""Masked batched iteration engine.
+
+The reference solves ONE problem with a data-dependent `while(done==0)` loop
+(code_laxMPC_ADMM_C.c:308-633). Here the unit of work is a batch of B
+independent problems living in one set of [B, ...] arrays; the loop is a
+`lax.while_loop` that runs while ANY lane is still active, with per-lane
+freeze masking: once a lane converges its state stops updating, so its final
+iterates and iteration count are bit-identical to running it alone. This
+preserves the reference's per-problem (k, e_flag) semantics
+(code_laxMPC_ADMM_C.c:622-631) under batching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _mask_like(mask, leaf):
+    """Broadcast a [B] bool mask against a [B, ...] leaf."""
+    return mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
+
+
+def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
+                    fixed_iters: int | None = None):
+    """Run `body` until every lane converges or k_max is hit.
+
+    body(state, k) -> (new_state, conv[B] bool). `state` is any pytree whose
+    leaves all have leading dim B. Returns (state, k[B], e_flag[B]) with
+    k = iterations performed per lane (1-based, like the reference's k
+    counter) and e_flag = 1 converged / -1 hit k_max.
+
+    fixed_iters: if given, run exactly that many iterations with no
+    convergence checks or masking (benchmark mode; avoids the per-iteration
+    any-active reduction).
+    """
+    if fixed_iters is not None:
+        def fbody(_, state):
+            new_state, _conv = body(state, _)
+            return new_state
+        state = jax.lax.fori_loop(0, fixed_iters, fbody, state0)
+        k = jnp.full((batch,), fixed_iters, dtype=jnp.int32)
+        return state, k, jnp.ones((batch,), dtype=jnp.int32)
+
+    done0 = jnp.zeros((batch,), dtype=bool)
+    k0 = jnp.zeros((batch,), dtype=jnp.int32)
+
+    def cond(carry):
+        it, done, _k, _state = carry
+        return jnp.logical_and(it < k_max, jnp.logical_not(jnp.all(done)))
+
+    def step(carry):
+        it, done, k, state = carry
+        new_state, conv = body(state, it)
+        active = jnp.logical_not(done)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(_mask_like(active, new), new, old),
+            new_state, state)
+        k = jnp.where(active, it + 1, k)
+        done = jnp.logical_or(done, jnp.logical_and(active, conv))
+        return it + 1, done, k, state
+
+    _it, done, k, state = jax.lax.while_loop(cond, step, (jnp.int32(0), done0, k0, state0))
+    e_flag = jnp.where(done, jnp.int32(1), jnp.int32(-1))
+    return state, k, e_flag

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+fp64 enabled, so sharding/collective paths are exercised without TPU
+hardware and numerics match the reference's double-precision MEX solvers.
+
+Must set env vars before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this image; the
+# config update below does force the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

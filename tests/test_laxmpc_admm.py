@@ -1,0 +1,111 @@
+"""Differential tests for laxMPC-ADMM, replicating the reference's test
+architecture (tests/spcies_tester.m + tests/test_laxMPC_ADMM.m): the same
+oscillating-masses fixture and scenario, compared against (a) the golden
+optimum pasted in the reference test and (b) the in-repo dense fp64 oracle,
+plus batching/masking invariants the reference cannot express.
+"""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+from spcies_tpu.oracle import laxmpc_admm_oracle
+from tests.golden.laxmpc_admm_golden import Z_OPT
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    sys, param, status = sp.systems.tester_fixture()
+    # the reference test diagonalizes the terminal cost
+    # (tests/test_laxMPC_ADMM.m:15): T = diag(sum(T, 2))
+    param = dict(param)
+    param["T"] = np.diag(np.sum(param["T"], axis=1))
+    return sys, param, status
+
+
+SOLVER_OPTS = dict(rho=15.0, tol=1e-7, k_max=5000)  # test_laxMPC_ADMM.m:6-8
+
+
+@pytest.fixture(scope="module", params=["dense", "banded"])
+def solver(request, fixture):
+    sys, param, _ = fixture
+    return sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                          backend=request.param, **SOLVER_OPTS)
+
+
+def test_vs_golden_optimum(solver, fixture):
+    """z* within 1e-4 of the reference's hardcoded optimum
+    (tests/spcies_tester.m:261 tol_opt)."""
+    _, _, st = fixture
+    res = solver(st["x"], st["xr"], st["ur"])
+    z = np.asarray(res.sol["z"][0])
+    assert int(res.e_flag[0]) == 1
+    assert np.max(np.abs(z - Z_OPT)) <= 1e-4
+
+
+def test_vs_oracle(solver, fixture):
+    """Batched TPU solver vs dense numpy oracle: same iterates to 1e-9
+    (the reference's sparse-vs-nonsparse differential contract,
+    spcies_tester.m:260 tol 1e-10; we allow 1e-9 for fp reassociation)."""
+    sys, param, st = fixture
+    res = solver(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = laxmpc_admm_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], **SOLVER_OPTS)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+    assert np.max(np.abs(np.asarray(res.u[0]) - u_o)) < 1e-9
+
+
+def test_batched_masking_matches_solo(solver, fixture):
+    """Each lane of a heterogeneous batch must match its solo solve exactly
+    (freeze-masked termination preserves per-lane k and iterates)."""
+    _, _, st = fixture
+    rng = np.random.default_rng(0)
+    B = 5
+    x0s = st["x"][None, :] * rng.uniform(-2.0, 2.0, size=(B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    batched = solver(x0s, xr, ur)
+    ks = []
+    for i in range(B):
+        solo = solver(x0s[i], st["xr"], st["ur"])
+        ks.append(int(solo.k[0]))
+        assert int(batched.k[i]) == int(solo.k[0])
+        assert int(batched.e_flag[i]) == int(solo.e_flag[0])
+        np.testing.assert_allclose(np.asarray(batched.sol["z"][i]),
+                                   np.asarray(solo.sol["z"][0]),
+                                   rtol=0, atol=1e-12)
+    assert len(set(ks)) > 1, "test should cover heterogeneous exit"
+
+
+def test_warm_start_reduces_iterations(solver, fixture):
+    """Warm starting from the converged iterates must converge immediately
+    (SURVEY.md §5: warm start is new capability vs the reference's
+    cold-start-only C, code_laxMPC_ADMM_C.c:58-71)."""
+    _, _, st = fixture
+    import jax.numpy as jnp
+    cold = solver(st["x"], st["xr"], st["ur"])
+    init = (cold.sol["z"], cold.sol["v"], cold.sol["lam"])
+    warm = solver(st["x"], st["xr"], st["ur"], init=init)
+    assert int(warm.k[0]) < int(cold.k[0])
+    assert int(warm.e_flag[0]) == 1
+
+
+def test_fixed_iters_mode(solver, fixture):
+    """Benchmark mode runs exactly k iterations without convergence checks."""
+    _, _, st = fixture
+    res = solver(st["x"], st["xr"], st["ur"], fixed_iters=50)
+    assert int(res.k[0]) == 50
+
+
+def test_unconverged_flag(fixture):
+    """k_max exhaustion must return e_flag = -1 with the current iterate
+    (code_laxMPC_ADMM_C.c:622-631)."""
+    sys, param, st = fixture
+    s = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       rho=15.0, tol=1e-12, k_max=10)
+    res = s(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == -1
+    assert int(res.k[0]) == 10
