@@ -1,0 +1,69 @@
+"""Benchmark: batched laxMPC-ADMM solves/s/chip on the oscillating-masses
+plant (the BASELINE.json north-star metric: >= 10,000 solves/s/chip at
+N=30, iterations-to-1e-4 parity with the reference's generated C).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever the default JAX platform is (real TPU under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import spcies_tpu as sp
+
+    N = 30            # BASELINE.json metric horizon
+    BATCH = 4096
+    TOL = 1e-4        # reference default tolerance (def_options_laxMPC_ADMM.m)
+    K_MAX = 1000
+
+    sys_, param, st = sp.systems.tester_fixture()
+    param = dict(param)
+    param["N"] = N
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=TOL,
+                              k_max=K_MAX)
+    opts.precision = "float"
+    solver = sp.make_solver(sys_, param, formulation="laxMPC", method="ADMM",
+                            options=opts)
+
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2.0, 2.0, (BATCH, 1))
+    xr = np.tile(st["xr"], (BATCH, 1))
+    ur = np.tile(st["ur"], (BATCH, 1))
+
+    # warm-up / compile
+    res = solver(x0, xr, ur)
+    res.u.block_until_ready()
+    n_conv = int(np.sum(np.asarray(res.e_flag) == 1))
+    k_mean = float(np.mean(np.asarray(res.k)))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = solver(x0, xr, ur)
+    res.u.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    solves_per_s = BATCH / dt
+    out = {
+        "metric": "laxMPC-ADMM solves/s/chip (osc-masses N=30, tol=1e-4)",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10000.0, 3),
+        "batch": BATCH,
+        "k_mean": round(k_mean, 1),
+        "converged_frac": round(n_conv / BATCH, 4),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

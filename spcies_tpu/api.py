@@ -62,6 +62,7 @@ class BatchedSolver:
         self.dtype = dtype
         self.input_names = input_names
         # solve_fn(x0, xr, ur, init, fixed_iters) with static fixed_iters
+        self.raw_fn = solve_fn
         self._jitted = jax.jit(solve_fn, static_argnums=(4,))
 
     def __call__(self, *inputs, init=None, fixed_iters=None):

@@ -138,6 +138,8 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
         M_b = jnp.asarray(ing["M_b"], dtype)
 
         def make_z_step(b0):
+            if b0 is None:
+                return lambda dq: dq @ M_q.T
             def z_step(q_hat):
                 return q_hat @ M_q.T + b0 @ M_b.T
             return z_step
@@ -163,7 +165,9 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                 hq_mid = Hi_mid * qm                       # [B, N-1, n+m]
                 hq_0 = Hi_0 * q0                           # [B, m]
                 hq_N = qN @ Hi_N.T                         # [B, n]
-                rhs0 = hq_mid[:, 0, :n] - b0 - hq_0 @ Bmat.T
+                rhs0 = hq_mid[:, 0, :n] - hq_0 @ Bmat.T
+                if b0 is not None:
+                    rhs0 = rhs0 - b0
                 rhs_mid = hq_mid[:, 1:, :n] - jnp.einsum(
                     "blj,ij->bli", hq_mid[:, :-1], AB)
                 rhsN = hq_N - hq_mid[:, -1] @ AB.T
@@ -193,7 +197,7 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
         z, v, lam, k, e_flag, r_p, r_d = admm_solve(
             make_z_step(b0), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters)
+            fixed_iters=fixed_iters, z_lin=make_z_step(None))
         u = v[:, :m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
