@@ -203,3 +203,131 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# FISTA
+# ---------------------------------------------------------------------------
+
+def laxmpc_fista_ingredients(sys: dict, param: dict, opt: Options) -> dict:
+    """Offline ingredients for dual FISTA, the analogue of
+    compute_laxMPC_FISTA_ingredients.m (H without rho; Q, R, T all diagonal
+    required, :50-52; exports Hinv diag and the W band factors :71-97)."""
+    A, B, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], dtype=float)
+    R = np.asarray(param["R"], dtype=float)
+    T = np.asarray(param["T"], dtype=float)
+    for name, M in (("Q", Q), ("R", R), ("T", T)):
+        if not np.allclose(M, np.diag(np.diag(M))):
+            raise ValueError(
+                f"laxMPC/FISTA requires diagonal {name} "
+                "(compute_laxMPC_FISTA_ingredients.m:50-52)")
+    Qd, Rd, Td = np.diag(Q).copy(), np.diag(R).copy(), np.diag(T).copy()
+    nz = N * (n + m)
+
+    h_diag = np.concatenate([Rd] + [np.concatenate([Qd, Rd])] * (N - 1) + [Td])
+    hinv_diag = 1.0 / h_diag
+    G = linalg.mpc_equality_matrix(A, B, N)
+    W = G @ (hinv_diag[:, None] * G.T)
+    Alpha, Beta = linalg.band_chol_blocks(W, n, N)
+
+    LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
+    LB_z = np.concatenate([LBu] + [np.concatenate([LBx, LBu])] * (N - 1) + [LBx])
+    UB_z = np.concatenate([UBu] + [np.concatenate([UBx, UBu])] * (N - 1) + [UBx])
+
+    return dict(
+        n=n, m=m, N=N, nz=nz, A=A, B=B, AB=np.hstack([A, B]),
+        Qd=Qd, Rd=Rd, T=T, hinv_diag=hinv_diag,
+        G=G, Winv=np.linalg.inv(W), Alpha=Alpha, Beta=Beta,
+        LB_z=LB_z, UB_z=UB_z,
+    )
+
+
+def _make_fista_parts(ing, dtype, backend, terminal: bool):
+    """Shared FISTA operator construction for laxMPC (terminal=True) and
+    equMPC (terminal=False): z_from_y, resid-from-z, and the W solve."""
+    from spcies_tpu.formulations import stagewise
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    hinv = jnp.asarray(ing["hinv_diag"], dtype)
+    LB_z = jnp.asarray(ing["LB_z"], dtype)
+    UB_z = jnp.asarray(ing["UB_z"], dtype)
+
+    if backend == "dense":
+        G = jnp.asarray(ing["G"], dtype)
+        Winv = jnp.asarray(ing["Winv"], dtype)
+
+        def z_from_y(q_ref):
+            def fn(y):
+                q = q_ref - y @ G
+                return proj_box(-hinv * q, LB_z, UB_z)
+            return fn
+
+        def resid(b):
+            def fn(z):
+                return b - z @ G.T
+            return fn
+
+        def w_solve(r):
+            return r @ Winv.T
+    else:  # banded
+        from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
+        Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
+        Alpha = jnp.asarray(Alpha_np, dtype)
+        BetaInv = jnp.asarray(BetaInv_np, dtype)
+        A_ = jnp.asarray(ing["A"], dtype)
+        B_ = jnp.asarray(ing["B"], dtype)
+        AB = jnp.asarray(ing["AB"], dtype)
+
+        def z_from_y(q_ref):
+            def fn(y):
+                mu = y.reshape(y.shape[0], N, n)
+                q = q_ref - stagewise.gt_apply(mu, n, m, B_, AB, terminal)
+                return proj_box(-hinv * q, LB_z, UB_z)
+            return fn
+
+        def resid(b):
+            def fn(z):
+                z0, zm, zN = stagewise.split_z(z, n, m, N, terminal)
+                gz = stagewise.g_apply(z0, zm, zN, A_, B_, AB)
+                return b - gz.reshape(z.shape[0], -1)
+            return fn
+
+        def w_solve(r):
+            mu = band_chol_solve(r.reshape(r.shape[0], N, n), Alpha, BetaInv)
+            return mu.reshape(r.shape[0], -1)
+
+    return z_from_y, resid, w_solve
+
+
+@register_builder("laxMPC", "FISTA")
+def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
+                       backend: str = "dense") -> BatchedSolver:
+    """laxMPC via dual FISTA (code_laxMPC_FISTA_C.c,
+    spcies_laxMPC_FISTA_solver.m)."""
+    from spcies_tpu.solvers.fista import fista_solve
+    ing = laxmpc_fista_ingredients(sys, param, opt)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    A = jnp.asarray(ing["A"], dtype)
+    if backend not in ("dense", "banded"):
+        raise ValueError(f"unknown backend {backend!r}")
+    z_from_y_f, resid_f, w_solve = _make_fista_parts(ing, dtype, backend,
+                                                     terminal=True)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        Bsz = x0.shape[0]
+        q_ref = _q_ref(ing, xr, ur, dtype)
+        b = jnp.zeros((Bsz, N * n), dtype)
+        b = b.at[:, :n].set(-(x0 @ A.T))
+        lam_init = init if init is None else init[0]
+        z, y, lam, k, e_flag, res = fista_solve(
+            z_from_y_f(q_ref), resid_f(b), w_solve,
+            tol=tol, k_max=k_max, batch=Bsz, nlam=N * n, dtype=dtype,
+            lam_init=lam_init, fixed_iters=fixed_iters)
+        return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
+                           sol=dict(z=z, lam=y, res=res))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

@@ -1,0 +1,59 @@
+"""Structured stagewise operators shared by the banded backends.
+
+The decision vector of the laxMPC/equMPC family is stage-ordered
+z = (u_0, x_1, u_1, ..., x_{N-1}, u_{N-1}[, x_N]) and the equality matrix G
+is block-banded (reference Aeq construction,
+compute_laxMPC_ADMM_ingredients.m:80-86 /
+compute_equMPC_ADMM_ingredients.m:85). Instead of materializing G, these
+helpers apply G and G^T blockwise — each block op is a small batched matmul
+that XLA maps onto the MXU, and memory stays O(N n (n+m)) like the
+reference's banded C loops (code_laxMPC_ADMM_C.c:355-381, :453-485).
+
+Layout convention: z splits into z0 [B, m] (u_0), zm [B, N-1, n+m]
+(stages 1..N-1), and optionally zN [B, n] (x_N, `terminal=True`).
+Multiplier blocks mu are [B, N, n].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def split_z(z, n, m, N, terminal):
+    B = z.shape[0]
+    z0 = z[:, :m]
+    zm = z[:, m:m + (N - 1) * (n + m)].reshape(B, N - 1, n + m)
+    zN = z[:, -n:] if terminal else None
+    return z0, zm, zN
+
+
+def join_z(z0, zm, zN):
+    B = z0.shape[0]
+    parts = [z0, zm.reshape(B, -1)]
+    if zN is not None:
+        parts.append(zN)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def g_apply(z0, zm, zN, A_, B_, AB):
+    """G z -> [B, N, n]. Row 0: B u0 - x1; row l: [A B](x_l,u_l) - x_{l+1}
+    (x_N present only when terminal)."""
+    n = A_.shape[0]
+    r0 = z0 @ B_.T - zm[:, 0, :n]
+    r_mid = jnp.einsum("blj,ij->bli", zm[:, :-1], AB) - zm[:, 1:, :n]
+    r_last = zm[:, -1] @ AB.T
+    if zN is not None:
+        r_last = r_last - zN
+    return jnp.concatenate([r0[:, None], r_mid, r_last[:, None]], axis=1)
+
+
+def gt_apply(mu, n, m, B_, AB, terminal):
+    """G^T mu -> flat [B, nz]. u_0 gets B^T mu_0; stage block l (=(x_l,u_l),
+    l=1..N-1) gets [A B]^T mu_l - (mu_{l-1} on the x part); x_N (terminal)
+    gets -mu_{N-1}."""
+    Bsz = mu.shape[0]
+    g0 = mu[:, 0] @ B_
+    gm = jnp.einsum("bli,ij->blj", mu[:, 1:], AB)
+    gm = gm.at[:, :, :n].add(-mu[:, :-1])
+    gN = -mu[:, -1] if terminal else None
+    return join_z(g0, gm, gN)

@@ -2,6 +2,13 @@ from spcies_tpu.oracle.dense import (
     solve_eq_qp,
     solve_box_qp,
     laxmpc_admm_oracle,
+    equmpc_admm_oracle,
+    laxmpc_fista_oracle,
+    equmpc_fista_oracle,
 )
 
-__all__ = ["solve_eq_qp", "solve_box_qp", "laxmpc_admm_oracle"]
+__all__ = [
+    "solve_eq_qp", "solve_box_qp",
+    "laxmpc_admm_oracle", "equmpc_admm_oracle",
+    "laxmpc_fista_oracle", "equmpc_fista_oracle",
+]

@@ -85,3 +85,148 @@ def laxmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
             e_flag = -1
     u = v[:m].copy()
     return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
+
+
+def equmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
+                       k_max=1000):
+    """Reference-faithful dense ADMM for equMPC
+    (platforms/Matlab/spcies_equMPC_ADMM_solver.m:244-298): decision vector
+    without x_N, terminal equality x_N = xr via the last RHS block."""
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    nz = N * (n + m) - n
+
+    rho_vec = np.full(nz, float(rho)) if np.isscalar(rho) else np.asarray(rho)
+    H = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)))
+    Hinv = np.linalg.inv(H + np.diag(rho_vec))
+    G = linalg.mpc_equality_matrix(A, B, N, drop_terminal=True)
+    W = G @ Hinv @ G.T
+
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1))
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1))
+
+    Qd, Rd = np.diag(Q), np.diag(R)
+    q_ref = np.concatenate([-Rd * ur]
+                           + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1))
+    beq = np.zeros(N * n)
+    beq[:n] = -A @ x0
+    beq[-n:] = xr
+
+    z = np.zeros(nz)
+    v = np.zeros(nz)
+    lam = np.zeros(nz)
+    k = 0
+    e_flag = 0
+    r_p = r_d = np.inf
+    while e_flag == 0:
+        k += 1
+        v_prev = v
+        q_hat = q_ref + lam - rho_vec * v
+        z = solve_eq_qp(Hinv, G, W, q_hat, beq)
+        v = solve_box_qp(z + lam / rho_vec, LB, UB)
+        lam = lam + rho_vec * (z - v)
+        r_p = np.max(np.abs(z - v))
+        r_d = np.max(np.abs(v - v_prev))
+        if r_p <= tol and r_d <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    u = v[:m].copy()
+    return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
+
+
+def _fista_oracle(hinv_diag, G, W, LB, UB, q, b, m, *, tol, k_max,
+                  lam_init=None):
+    """Dense dual-FISTA core, reference-faithful to
+    spcies_laxMPC_FISTA_solver.m:231-345 (warm-start gradient step, momentum
+    t-update, exit on ||b - G z||_inf <= tol)."""
+    nlam = G.shape[0]
+    lam = np.zeros(nlam) if lam_init is None else np.asarray(lam_init, float)
+
+    def z_of(y):
+        return np.clip(-hinv_diag * (q - G.T @ y), LB, UB)
+
+    # k = 0: one plain gradient step
+    z = z_of(lam)
+    r = b - G @ z
+    y = lam + np.linalg.solve(W, r)
+    lam = y
+    t = 1.0
+
+    k = 0
+    e_flag = 0
+    res = np.inf
+    while e_flag == 0:
+        k += 1
+        t_prev, lam_prev = t, lam
+        z = z_of(y)
+        r = b - G @ z
+        res = np.max(np.abs(r))
+        if res <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+        else:
+            lam = y + np.linalg.solve(W, r)
+            t = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_prev ** 2))
+            y = lam + ((t_prev - 1.0) / t) * (lam - lam_prev)
+    return z[:m].copy(), k, e_flag, dict(z=z, lam=y, res=res)
+
+
+def laxmpc_fista_oracle(sys, param, x0, xr, ur, *, tol=1e-4, k_max=1000):
+    """Dense FISTA for laxMPC (spcies_laxMPC_FISTA_solver.m)."""
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Qd = np.diag(np.asarray(param["Q"], float))
+    Rd = np.diag(np.asarray(param["R"], float))
+    Td = np.diag(np.asarray(param["T"], float))
+
+    h_diag = np.concatenate([Rd] + [np.concatenate([Qd, Rd])] * (N - 1) + [Td])
+    G = linalg.mpc_equality_matrix(A, B, N)
+    W = G @ ((1.0 / h_diag)[:, None] * G.T)
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1)
+                        + [sys["LBx"]])
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1)
+                        + [sys["UBx"]])
+    q = np.concatenate([-Rd * ur]
+                       + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1)
+                       + [-Td * xr])
+    b = np.zeros(N * n)
+    b[:n] = -A @ x0
+    return _fista_oracle(1.0 / h_diag, G, W, LB, UB, q, b, m,
+                         tol=tol, k_max=k_max)
+
+
+def equmpc_fista_oracle(sys, param, x0, xr, ur, *, tol=1e-4, k_max=1000):
+    """Dense FISTA for equMPC (spcies_equMPC_FISTA_solver.m)."""
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Qd = np.diag(np.asarray(param["Q"], float))
+    Rd = np.diag(np.asarray(param["R"], float))
+
+    h_diag = np.concatenate([Rd] + [np.concatenate([Qd, Rd])] * (N - 1))
+    G = linalg.mpc_equality_matrix(A, B, N, drop_terminal=True)
+    W = G @ ((1.0 / h_diag)[:, None] * G.T)
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1))
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1))
+    q = np.concatenate([-Rd * ur]
+                       + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1))
+    b = np.zeros(N * n)
+    b[:n] = -A @ x0
+    b[-n:] = xr
+    return _fista_oracle(1.0 / h_diag, G, W, LB, UB, q, b, m,
+                         tol=tol, k_max=k_max)

@@ -1,0 +1,83 @@
+"""Batched dual-FISTA iteration engine.
+
+Mirrors the reference's FISTA solvers (code_laxMPC_FISTA_C.c:300-390,
+platforms/Matlab/spcies_laxMPC_FISTA_solver.m): accelerated gradient ascent
+on the dual of the equality constraints, where the primal minimizer given
+duals is a box-clipped diagonal solve and the dual gradient step solves
+W d = r with W = G H^{-1} G^T (the same banded Alpha/Beta structure as
+ADMM's KKT system).
+
+Engine structure (exact reference parity, including iterate semantics):
+  warm start (k=0, outside the loop — one plain gradient step,
+  code_laxMPC_FISTA_C.c:300-318):
+      z = clip(-Hinv (q - G^T lam)); r = b - G z; y = lam + W^{-1} r; lam = y
+  loop (k >= 1):
+      z = clip(-Hinv (q - G^T y)); r = b - G z; res = ||r||_inf
+      exit if res <= tol (e_flag 1) or k >= k_max (e_flag -1)
+      else: lam' = y + W^{-1} r; t' = (1+sqrt(1+4t^2))/2;
+            y = lam' + ((t-1)/t') (lam' - lam)
+  The momentum updates are masked off on the converging iteration (the
+  reference's `if done == 0` guard), so the returned (z, lambda=y, res)
+  match the reference bit-for-bit in exact arithmetic.
+
+The dual-residual solve operates on r -> 0 as the iteration converges, so
+unlike ADMM's direct form no delta rewrite is needed for fp32 accuracy.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from spcies_tpu.solvers.common import inf_norm
+from spcies_tpu.solvers.loop import run_masked_loop
+
+
+def fista_solve(
+    z_from_y: Callable,        # y [B, nlam] -> z [B, nz]
+    resid: Callable,           # z [B, nz] -> r = b - G z [B, nlam]
+    w_solve: Callable,         # r [B, nlam] -> W^{-1} r
+    *,
+    tol: float,
+    k_max: int,
+    batch: int,
+    nlam: int,
+    dtype,
+    lam_init=None,
+    fixed_iters: int | None = None,
+):
+    """Run batched dual FISTA; returns (z, y, lam, k, e_flag, res)."""
+    lam = (jnp.zeros((batch, nlam), dtype=dtype) if lam_init is None
+           else jnp.asarray(lam_init, dtype))
+
+    # k = 0 warm-start gradient step (outside the loop, no exit check)
+    z0 = z_from_y(lam)
+    y = lam + w_solve(resid(z0))
+    lam = y
+
+    state0 = dict(
+        z=z0, y=y, lam=lam,
+        t=jnp.ones((batch,), dtype=dtype),
+        res=jnp.full((batch,), jnp.inf, dtype=dtype),
+    )
+
+    def body(state, _it):
+        z = z_from_y(state["y"])
+        r = resid(z)
+        res = inf_norm(r)
+        conv = res <= tol
+        # momentum block, masked off on the converging iteration
+        lam_new = state["y"] + w_solve(r)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state["t"] ** 2))
+        coef = ((state["t"] - 1.0) / t_new)[:, None]
+        y_new = lam_new + coef * (lam_new - state["lam"])
+        keep = conv[:, None]
+        lam_out = jnp.where(keep, state["lam"], lam_new)
+        y_out = jnp.where(keep, state["y"], y_new)
+        t_out = jnp.where(conv, state["t"], t_new)
+        return (dict(z=z, y=y_out, lam=lam_out, t=t_out, res=res), conv)
+
+    state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
+                                       fixed_iters=fixed_iters)
+    return (state["z"], state["y"], state["lam"], k, e_flag, state["res"])
