@@ -55,17 +55,31 @@ class BatchedSolver:
 
     def __init__(self, solve_fn, ingredients: dict, options: Options,
                  *, n: int, m: int, N: int, nz: int, dtype,
-                 input_names=("x0", "xr", "ur")):
+                 input_names=("x0", "xr", "ur"), default_inputs=()):
         self.ingredients = ingredients
         self.options = options
         self.n, self.m, self.N, self.nz = n, m, N, nz
         self.dtype = dtype
         self.input_names = input_names
-        # solve_fn(x0, xr, ur, init, fixed_iters) with static fixed_iters
+        # trailing optional inputs (e.g. the soc solvers' runtime radius,
+        # code_ellipMPC_ADMM_soc_C.c:20 r_ellip) with their default values
+        self.default_inputs = tuple(default_inputs)
+        self.n_inputs = len(input_names)
+        # solve_fn(*inputs, init, fixed_iters) with static fixed_iters
         self.raw_fn = solve_fn
-        self._jitted = jax.jit(solve_fn, static_argnums=(4,))
+        self._jitted = jax.jit(solve_fn, static_argnums=(self.n_inputs + 1,))
 
     def __call__(self, *inputs, init=None, fixed_iters=None):
+        if len(inputs) < self.n_inputs:
+            missing = self.n_inputs - len(inputs)
+            if missing > len(self.default_inputs):
+                raise TypeError(
+                    f"solver expects inputs {self.input_names}, "
+                    f"got {len(inputs)}")
+            inputs = inputs + self.default_inputs[-missing:]
+        elif len(inputs) > self.n_inputs:
+            raise TypeError(
+                f"solver expects inputs {self.input_names}, got {len(inputs)}")
         inputs = broadcast_inputs(self.dtype, *inputs)
         return self._jitted(*inputs, init, fixed_iters)
 

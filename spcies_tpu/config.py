@@ -74,11 +74,12 @@ SOLVER_REGISTRY: dict[tuple[str, str, str], dict[str, Any]] = {
                                  force_vector_rho=False),
     # formulations/+equMPC/def_options_equMPC_FISTA.m
     ("equMPC", "FISTA", ""): dict(tol=1e-4, k_max=1000),
-    # formulations/+ellipMPC/def_options_ellipMPC_ADMM.m
-    ("ellipMPC", "ADMM", ""): dict(rho=1e-2, tol=1e-4, k_max=1000,
+    # formulations/+ellipMPC/def_options_ellipMPC_ADMM.m:20-25
+    ("ellipMPC", "ADMM", ""): dict(rho=1e-2, tol=1e-4, tol_p=1e-4,
+                                   tol_d=1e-4, k_max=1000,
                                    force_vector_rho=False),
-    # formulations/+ellipMPC/def_options_ellipMPC_ADMM_soc.m
-    ("ellipMPC", "ADMM", "soc"): dict(rho=1e-2, sigma=1e-4, tol_p=1e-4,
+    # formulations/+ellipMPC/def_options_ellipMPC_ADMM_soc.m:23-27
+    ("ellipMPC", "ADMM", "soc"): dict(rho=5.0, sigma=5.0, tol_p=1e-4,
                                       tol_d=1e-4, k_max=1000),
     # formulations/+MPCT/def_options_MPCT_EADMM.m:19-28
     ("MPCT", "EADMM", ""): dict(rho_base=3.0, rho_mult=20.0, tol=1e-4,

@@ -80,7 +80,10 @@ def equmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
         A=A, B=B, AB=np.hstack([A, B]), Qd=Qd, Rd=Rd,
         rho_vec=rho_vec, rho_inv_vec=1.0 / rho_vec,
         rho_scalar=float(rho) if rho.ndim == 0 else None,
-        hinv_diag=hinv_diag, M_q=M_q,
+        hinv_diag=hinv_diag,
+        Hi_0=hinv_diag[:m].copy(),
+        Hi_mid=hinv_diag[m:].reshape(N - 1, n + m).copy(),
+        M_q=M_q,
         M_b0=M_b[:, :n].copy(), M_bN=M_b[:, -n:].copy(),
         Alpha=Alpha, Beta=Beta, LB_z=LB_z, UB_z=UB_z,
     )
@@ -125,26 +128,16 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                 return q_hat @ M_q.T + b0 @ M_b0.T + xr @ M_bN.T
             return z_step
     elif backend == "banded":
-        from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
-        Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
-        Alpha = jnp.asarray(Alpha_np, dtype)
-        BetaInv = jnp.asarray(BetaInv_np, dtype)
-        AB = jnp.asarray(ing["AB"], dtype)
-        A_ = A
-        B_ = jnp.asarray(ing["B"], dtype)
-        hinv = jnp.asarray(ing["hinv_diag"], dtype)
+        eq_qp = stagewise.make_banded_eq_qp(ing, dtype, terminal=False)
 
         def make_z_step(b0, xr):
+            if b0 is None:
+                return lambda dq: eq_qp(dq, None)
             def z_step(q_hat):
                 Bsz = q_hat.shape[0]
-                hq = hinv * q_hat
-                h0, hm, _ = stagewise.split_z(hq, n, m, N, terminal=False)
-                rhs = -stagewise.g_apply(h0, hm, None, A_, B_, AB)
-                if b0 is not None:
-                    rhs = rhs.at[:, 0].add(-b0).at[:, -1].add(-xr)
-                mu = band_chol_solve(rhs, Alpha, BetaInv)
-                gtmu = stagewise.gt_apply(mu, n, m, B_, AB, terminal=False)
-                return -hinv * (q_hat + gtmu)
+                rhs_extra = (jnp.zeros((Bsz, N, n), dtype)
+                             .at[:, 0].set(-b0).at[:, -1].set(-xr))
+                return eq_qp(q_hat, rhs_extra)
             return z_step
     else:
         raise ValueError(f"unknown backend {backend!r}")

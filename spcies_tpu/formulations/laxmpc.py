@@ -144,46 +144,16 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                 return q_hat @ M_q.T + b0 @ M_b.T
             return z_step
     elif backend == "banded":
-        from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
-        Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
-        Alpha = jnp.asarray(Alpha_np, dtype)
-        BetaInv = jnp.asarray(BetaInv_np, dtype)
-        AB = jnp.asarray(ing["AB"], dtype)
-        Hi_0 = jnp.asarray(ing["Hi_0"], dtype)
-        Hi_mid = jnp.asarray(ing["Hi_mid"], dtype)
-        Hi_N = jnp.asarray(ing["Hi_N"], dtype)
-        Bmat = jnp.asarray(ing["B"], dtype)
+        from spcies_tpu.formulations import stagewise
+        eq_qp = stagewise.make_banded_eq_qp(ing, dtype, terminal=True)
 
         def make_z_step(b0):
+            if b0 is None:
+                return lambda dq: eq_qp(dq, None)
             def z_step(q_hat):
                 Bsz = q_hat.shape[0]
-                q0 = q_hat[:, :m]
-                qm = q_hat[:, m:m + (N - 1) * (n + m)].reshape(Bsz, N - 1, n + m)
-                qN = q_hat[:, -n:]
-                # RHS of W mu = -G Hinv q_hat - beq, built blockwise
-                # (code_laxMPC_ADMM_C.c:355-381)
-                hq_mid = Hi_mid * qm                       # [B, N-1, n+m]
-                hq_0 = Hi_0 * q0                           # [B, m]
-                hq_N = qN @ Hi_N.T                         # [B, n]
-                rhs0 = hq_mid[:, 0, :n] - hq_0 @ Bmat.T
-                if b0 is not None:
-                    rhs0 = rhs0 - b0
-                rhs_mid = hq_mid[:, 1:, :n] - jnp.einsum(
-                    "blj,ij->bli", hq_mid[:, :-1], AB)
-                rhsN = hq_N - hq_mid[:, -1] @ AB.T
-                rhs = jnp.concatenate(
-                    [rhs0[:, None], rhs_mid, rhsN[:, None]], axis=1)
-                mu = band_chol_solve(rhs, Alpha, BetaInv)   # [B, N, n]
-                # z recovery z = -Hinv (q_hat + G^T mu)
-                # (code_laxMPC_ADMM_C.c:453-485)
-                z0 = -Hi_0 * (q0 + mu[:, 0] @ Bmat)
-                gmu_x = jnp.concatenate(
-                    [-mu[:, :-1], jnp.zeros((Bsz, N - 1, m), dtype)], axis=-1)
-                gmu_next = jnp.einsum("bli,ij->blj", mu[:, 1:], AB)
-                zm = -Hi_mid * (qm + gmu_x + gmu_next)
-                zN = -((qN - mu[:, -1]) @ Hi_N.T)
-                return jnp.concatenate(
-                    [z0, zm.reshape(Bsz, -1), zN], axis=-1)
+                rhs_extra = jnp.zeros((Bsz, N, n), dtype).at[:, 0].set(-b0)
+                return eq_qp(q_hat, rhs_extra)
             return z_step
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -47,6 +47,55 @@ def g_apply(z0, zm, zN, A_, B_, AB):
     return jnp.concatenate([r0[:, None], r_mid, r_last[:, None]], axis=1)
 
 
+def make_banded_eq_qp(ing, dtype, terminal):
+    """Build the banded equality-QP solve shared by laxMPC / equMPC /
+    ellipMPC ADMM backends:
+
+        z = argmin 0.5 z'Hhat z + q_hat'z  s.t.  G z = beq
+          = -Hinv (q_hat + G' mu),   W mu = -G Hinv q_hat - beq
+
+    with W's offline Alpha/Beta band-Cholesky blocks (the reference hot
+    loop, code_laxMPC_ADMM_C.c:355-485). `ing` must provide n, m, N, A, B,
+    AB, Hi_0 [m], Hi_mid [N-1, n+m] (diagonal Hinv blocks), Hi_N [n, n]
+    (dense terminal block, terminal=True only), Alpha, Beta.
+
+    Returns z_step(q_hat [B, nz], rhs_extra [B, N, n] | None) where
+    rhs_extra = -beq stacked per stage (None for the pure linear map used
+    by the delta-form iteration).
+    """
+    from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
+    Alpha = jnp.asarray(Alpha_np, dtype)
+    BetaInv = jnp.asarray(BetaInv_np, dtype)
+    AB = jnp.asarray(ing["AB"], dtype)
+    A_ = jnp.asarray(ing["A"], dtype)
+    B_ = jnp.asarray(ing["B"], dtype)
+    Hi_0 = jnp.asarray(ing["Hi_0"], dtype)
+    Hi_mid = jnp.asarray(ing["Hi_mid"], dtype)
+    Hi_N = jnp.asarray(ing["Hi_N"], dtype) if terminal else None
+
+    def hinv_apply(q):
+        q0, qm, qN = split_z(q, n, m, N, terminal)
+        return (Hi_0 * q0, Hi_mid * qm,
+                qN @ Hi_N.T if terminal else None)
+
+    def z_step(q_hat, rhs_extra=None):
+        h0, hm, hN = hinv_apply(q_hat)
+        rhs = -g_apply(h0, hm, hN, A_, B_, AB)
+        if rhs_extra is not None:
+            rhs = rhs + rhs_extra
+        mu = band_chol_solve(rhs, Alpha, BetaInv)
+        g0, gm, gN = split_z(gt_apply(mu, n, m, B_, AB, terminal),
+                             n, m, N, terminal)
+        z0 = -(h0 + Hi_0 * g0)
+        zm = -(hm + Hi_mid * gm)
+        zN = -(hN + gN @ Hi_N.T) if terminal else None
+        return join_z(z0, zm, zN)
+
+    return z_step
+
+
 def gt_apply(mu, n, m, B_, AB, terminal):
     """G^T mu -> flat [B, nz]. u_0 gets B^T mu_0; stage block l (=(x_l,u_l),
     l=1..N-1) gets [A B]^T mu_l - (mu_{l-1} on the x part); x_N (terminal)

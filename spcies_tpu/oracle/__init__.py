@@ -5,10 +5,13 @@ from spcies_tpu.oracle.dense import (
     equmpc_admm_oracle,
     laxmpc_fista_oracle,
     equmpc_fista_oracle,
+    ellipmpc_admm_oracle,
+    ellipmpc_admm_soc_oracle,
 )
 
 __all__ = [
     "solve_eq_qp", "solve_box_qp",
     "laxmpc_admm_oracle", "equmpc_admm_oracle",
     "laxmpc_fista_oracle", "equmpc_fista_oracle",
+    "ellipmpc_admm_oracle", "ellipmpc_admm_soc_oracle",
 ]

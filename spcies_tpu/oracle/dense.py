@@ -179,6 +179,173 @@ def _fista_oracle(hinv_diag, G, W, LB, UB, q, b, m, *, tol, k_max,
     return z[:m].copy(), k, e_flag, dict(z=z, lam=y, res=res)
 
 
+def ellipmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
+                         k_max=1000):
+    """Reference-faithful dense ADMM for ellipMPC
+    (platforms/Matlab/spcies_ellipMPC_ADMM_solver.m:129-224): terminal
+    penalty rho*P, P-norm ellipsoid projection on the terminal block."""
+    import scipy.linalg as sla
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    P = np.asarray(param["P"], float)
+    c = np.asarray(param.get("c", np.zeros(n)), float).ravel()
+    r = float(param.get("r", 1.0))
+    nz = N * (n + m)
+    ns = nz - n
+
+    w, V = np.linalg.eigh(P)
+    P_half = (V * np.sqrt(np.maximum(w, 0))) @ V.T
+    Pinv_half = np.linalg.inv(P) @ P_half
+
+    Hz = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T)
+    Hhat = Hz + rho * linalg.blkdiag(np.eye(ns), P)
+    Hinv = np.linalg.inv(Hhat)
+    G = linalg.mpc_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1))
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1))
+
+    Qd, Rd = np.diag(Q), np.diag(R)
+    q = np.concatenate([-Rd * ur]
+                       + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1)
+                       + [-(T @ xr)])
+    beq = np.zeros(N * n)
+    beq[:n] = -A @ x0
+
+    z = np.zeros(nz)
+    v = np.zeros(nz)
+    v1 = np.zeros(nz)
+    lam = np.zeros(nz)
+    k = 0
+    e_flag = 0
+    r_p = r_d = np.inf
+    while e_flag == 0:
+        k += 1
+        q_hat = np.empty(nz)
+        q_hat[:ns] = q[:ns] + lam[:ns] - rho * v[:ns]
+        q_hat[ns:] = q[ns:] + P_half @ lam[ns:] - rho * (P @ v[ns:])
+        z = solve_eq_qp(Hinv, G, W, q_hat, beq)
+        v = np.empty(nz)
+        v[:ns] = np.clip(z[:ns] + lam[:ns] / rho, LB, UB)
+        vT = z[ns:] + Pinv_half @ lam[ns:] / rho
+        d = vT - c
+        vPv = d @ (P @ d)
+        if vPv > r * r:
+            vT = r * d / np.sqrt(vPv) + c
+        v[ns:] = vT
+        lam = lam.copy()
+        lam[:ns] += rho * (z[:ns] - v[:ns])
+        lam[ns:] += rho * (P_half @ (z[ns:] - v[ns:]))
+        r_p = np.max(np.abs(z - v))
+        r_d = np.max(np.abs(v - v1))
+        if r_p <= tol and r_d <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+        v1 = v
+    return v[:m].copy(), k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
+
+
+def ellipmpc_admm_soc_oracle(sys, param, x0, xr, ur, r_ellip=None, *,
+                             rho=5.0, sigma=5.0, tol_p=1e-4, tol_d=1e-4,
+                             k_max=1000):
+    """Reference-faithful dense ADMM-soc for ellipMPC
+    (platforms/Matlab/spcies_ellipMPC_ADMM_soc_solver.m:139-245, using its
+    commented dense M1/M2 path at :198)."""
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    P = np.asarray(param["P"], float)
+    if r_ellip is None:
+        r_ellip = float(param.get("r", 1.0))
+    dim = N * (n + m) + 1
+    n_s = n + 1
+    nbox = (N - 1) * (n + m) + m
+
+    w, V = np.linalg.eigh(P)
+    P_half = (V * np.sqrt(np.maximum(w, 0))) @ V.T
+    PhiP = np.linalg.solve(P_half, P)
+
+    H = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T,
+                       np.zeros((1, 1)))
+    G = linalg.mpc_equality_matrix(A, B, N)
+    G = linalg.blkdiag(G, np.ones((1, 1)))
+    n_eq = G.shape[0]
+    C = np.zeros((n_s, dim))
+    C[0, dim - 1] = -1.0
+    C[1:, dim - 1 - n:dim - 1] = -P_half
+
+    Hh = linalg.blkdiag(H + sigma * np.eye(dim), rho * np.eye(n_s))
+    Gh = np.block([[G, np.zeros((n_eq, n_s))], [C, np.eye(n_s)]])
+    Hhi = np.linalg.inv(Hh)
+    W = Gh @ Hhi @ Gh.T
+    Winv = np.linalg.inv(W)
+    M1 = Hhi @ Gh.T @ Winv @ Gh @ Hhi - Hhi
+    M2 = Hhi @ Gh.T @ Winv
+
+    LB = np.concatenate([sys["LBu"]]
+                        + [np.concatenate([sys["LBx"], sys["LBu"]])] * (N - 1))
+    UB = np.concatenate([sys["UBu"]]
+                        + [np.concatenate([sys["UBx"], sys["UBu"]])] * (N - 1))
+
+    Qd, Rd = np.diag(Q), np.diag(R)
+    q = np.concatenate([-Rd * ur]
+                       + [np.concatenate([-Qd * xr, -Rd * ur])] * (N - 1)
+                       + [-(T @ xr), [0.0]])
+    bh = np.zeros(n_eq + n_s)
+    bh[:n] = -A @ x0
+    bh[n_eq - 1] = r_ellip
+    bh[n_eq + 1:] = -PhiP @ xr
+
+    z = np.zeros(dim)
+    s = np.zeros(n_s)
+    lam = np.zeros(dim)
+    mu = np.zeros(n_s)
+    z_ant, s_ant = z, s
+    k = 0
+    e_flag = 0
+    rp = rd = np.inf
+    while e_flag == 0:
+        k += 1
+        q_hat = np.concatenate([q - sigma * z + lam, mu - rho * s])
+        aux = M1 @ q_hat + M2 @ bh
+        z_hat, s_hat = aux[:dim], aux[dim:]
+        z = z_hat + lam / sigma
+        z[:nbox] = np.clip(z[:nbox], LB, UB)
+        sp = s_hat + mu / rho
+        s0, s1 = sp[0], sp[1:]
+        ns1 = np.linalg.norm(s1)
+        if ns1 <= s0:
+            s = sp
+        elif ns1 <= -s0:
+            s = np.zeros(n_s)
+        else:
+            s = (s0 + ns1) / (2 * ns1) * np.concatenate([[ns1], s1])
+        lam = lam + sigma * (z_hat - z)
+        mu = mu + rho * (s_hat - s)
+        rp = max(np.max(np.abs(z_hat - z)), np.max(np.abs(s_hat - s)))
+        rd = max(np.max(np.abs(z - z_ant)), np.max(np.abs(s - s_ant)))
+        z_ant, s_ant = z, s
+        if rp <= tol_p and rd <= tol_d:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    return z[:m].copy(), k, e_flag, dict(
+        z=z, s=s, z_hat=z_hat, s_hat=s_hat, lam=lam, mu=mu, r_p=rp, r_d=rd)
+
+
 def laxmpc_fista_oracle(sys, param, x0, xr, ur, *, tol=1e-4, k_max=1000):
     """Dense FISTA for laxMPC (spcies_laxMPC_FISTA_solver.m)."""
     A = np.asarray(sys["A"], float)
