@@ -81,9 +81,9 @@ SOLVER_REGISTRY: dict[tuple[str, str, str], dict[str, Any]] = {
     # formulations/+ellipMPC/def_options_ellipMPC_ADMM_soc.m:23-27
     ("ellipMPC", "ADMM", "soc"): dict(rho=5.0, sigma=5.0, tol_p=1e-4,
                                       tol_d=1e-4, k_max=1000),
-    # formulations/+MPCT/def_options_MPCT_EADMM.m:19-28
-    ("MPCT", "EADMM", ""): dict(rho_base=3.0, rho_mult=20.0, tol=1e-4,
-                                k_max=1000),
+    # formulations/+MPCT/def_options_MPCT_EADMM.m:21-26
+    ("MPCT", "EADMM", ""): dict(rho_base=3.0, rho_mult=20.0, epsilon_x=1e-6,
+                                epsilon_u=1e-6, tol=1e-4, k_max=1000),
     # formulations/+MPCT/def_options_MPCT_ADMM_cs.m:14-25
     ("MPCT", "ADMM", "cs"): dict(rho=1e-2, tol=1e-4, k_max=1000,
                                  epsilon_x=1e-6, epsilon_u=1e-6),

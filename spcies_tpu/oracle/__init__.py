@@ -7,6 +7,7 @@ from spcies_tpu.oracle.dense import (
     equmpc_fista_oracle,
     ellipmpc_admm_oracle,
     ellipmpc_admm_soc_oracle,
+    mpct_eadmm_oracle,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "laxmpc_admm_oracle", "equmpc_admm_oracle",
     "laxmpc_fista_oracle", "equmpc_fista_oracle",
     "ellipmpc_admm_oracle", "ellipmpc_admm_soc_oracle",
+    "mpct_eadmm_oracle",
 ]

@@ -141,6 +141,102 @@ def equmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
     return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
 
 
+def mpct_eadmm_oracle(sys, param, x0, xr, ur, *, rho_base=3.0, rho_mult=20.0,
+                      epsilon_x=1e-6, epsilon_u=1e-6, tol=1e-4, k_max=1000,
+                      inf_value=1e30):
+    """Reference-faithful dense 3-block EADMM for MPCT
+    (platforms/Matlab/spcies_MPCT_EADMM_solver.m:143-247): materializes
+    A1/A2/A3 and iterates P1 (clip) -> P2 (dense W2) -> P3 (equality QP) ->
+    dual update with the structured rho vector."""
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    S = np.asarray(param["S"], float)
+    nm = n + m
+    nz1 = (N + 1) * nm
+    nrow = nz1 + n + nm
+
+    rho = np.full(nrow, rho_base)
+    rho[:2 * n] = rho_mult * rho_base
+    rho[nrow - 2 * nm:] = rho_mult * rho_base
+
+    # coupling matrices (compute_MPCT_EADMM_ingredients.m:95-105)
+    A1 = -np.vstack([
+        np.hstack([-np.eye(n), np.zeros((n, nz1 - n))]),
+        np.eye(nz1),
+        np.hstack([np.zeros((nm, N * nm)), np.eye(nm)]),
+    ])
+    A2 = np.vstack([np.zeros((n, nm))] + [np.eye(nm)] * (N + 2))
+    A3 = np.vstack([np.zeros((n, nz1)),
+                    np.eye(nz1),
+                    np.zeros((nm, nz1))])
+
+    H1i = 1.0 / np.diag((rho[:, None] * A1).T @ A1)
+    H2 = linalg.blkdiag(T, S) + (rho[:, None] * A2).T @ A2
+    H2i = np.linalg.inv(H2)
+    Az2 = np.hstack([A - np.eye(n), B])
+    W2 = H2i @ Az2.T @ np.linalg.inv(Az2 @ H2i @ Az2.T) @ Az2 @ H2i - H2i
+    H3 = (linalg.blkdiag(*([linalg.blkdiag(Q, R)] * (N + 1)))
+          + (rho[:, None] * A3).T @ A3)
+    H3inv = np.linalg.inv(H3)
+    Az3 = np.zeros((N * n, nz1))
+    for i in range(N):
+        Az3[i * n:(i + 1) * n, i * nm:i * nm + n] = A
+        Az3[i * n:(i + 1) * n, i * nm + n:(i + 1) * nm] = B
+        Az3[i * n:(i + 1) * n, (i + 1) * nm:(i + 1) * nm + n] = -np.eye(n)
+    W3 = Az3 @ H3inv @ Az3.T
+
+    LBx = np.asarray(sys["LBx"], float)
+    UBx = np.asarray(sys["UBx"], float)
+    LBu = np.asarray(sys["LBu"], float)
+    UBu = np.asarray(sys["UBu"], float)
+    LB = np.concatenate([np.concatenate([-inf_value * np.ones(n), LBu])]
+                        + [np.concatenate([LBx, LBu])] * (N - 1)
+                        + [np.concatenate([LBx + epsilon_x, LBu + epsilon_u])])
+    UB = np.concatenate([np.concatenate([inf_value * np.ones(n), UBu])]
+                        + [np.concatenate([UBx, UBu])] * (N - 1)
+                        + [np.concatenate([UBx - epsilon_x, UBu - epsilon_u])])
+
+    b = np.zeros(nrow)
+    b[:n] = x0
+
+    z1 = np.zeros(nz1)
+    z2 = np.zeros(nm)
+    z3 = np.zeros(nz1)
+    z2_prev, z3_prev = z2, z3
+    lam = np.zeros(nrow)
+    k = 0
+    e_flag = 0
+    res = {}
+    while e_flag == 0:
+        k += 1
+        q1 = ((rho[:, None] * A1).T @ (A2 @ z2 + A3 @ z3 - b) + A1.T @ lam)
+        z1 = np.clip(-q1 * H1i, LB, UB)
+        q2 = (-np.concatenate([T @ xr, S @ ur])
+              + (rho[:, None] * A2).T @ (A1 @ z1 + A3 @ z3) + A2.T @ lam)
+        z2 = W2 @ q2
+        q3 = (rho[:, None] * A3).T @ (A1 @ z1 + A2 @ z2) + A3.T @ lam
+        mu = np.linalg.solve(W3, -Az3 @ (H3inv @ q3))
+        z3 = -H3inv @ (Az3.T @ mu + q3)
+        res_pf = A1 @ z1 + A2 @ z2 + A3 @ z3 - b
+        n_pf = np.max(np.abs(res_pf))
+        n_z2 = np.max(np.abs(z2 - z2_prev))
+        n_z3 = np.max(np.abs(z3 - z3_prev))
+        lam = lam + rho * res_pf
+        if n_pf <= tol and n_z2 <= tol and n_z3 <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+        z2_prev, z3_prev = z2, z3
+        res = dict(r_pf=n_pf, r_z2=n_z2, r_z3=n_z3)
+    u = z1[n:n + m].copy()
+    return u, k, e_flag, dict(z1=z1, z2=z2, z3=z3, lam=lam, **res)
+
+
 def _fista_oracle(hinv_diag, G, W, LB, UB, q, b, m, *, tol, k_max,
                   lam_init=None):
     """Dense dual-FISTA core, reference-faithful to
