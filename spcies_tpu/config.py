@@ -86,14 +86,15 @@ SOLVER_REGISTRY: dict[tuple[str, str, str], dict[str, Any]] = {
                                 epsilon_u=1e-6, tol=1e-4, k_max=1000),
     # formulations/+MPCT/def_options_MPCT_ADMM_cs.m:14-25
     ("MPCT", "ADMM", "cs"): dict(rho=1e-2, tol=1e-4, k_max=1000,
-                                 epsilon_x=1e-6, epsilon_u=1e-6),
-    # formulations/+MPCT/def_options_MPCT_ADMM_semiband.m:15-30
-    ("MPCT", "ADMM", "semiband"): dict(rho=1e-2, tol_p=1e-4, tol_d=1e-4,
-                                       k_max=1000, epsilon_x=1e-6,
+                                 epsilon_x=1e-6, epsilon_u=1e-6,
+                                 force_vector_rho=False),
+    # formulations/+MPCT/def_options_MPCT_ADMM_semiband.m:24-37
+    ("MPCT", "ADMM", "semiband"): dict(rho=1e-2, epsilon_x=1e-6,
                                        epsilon_u=1e-6, epsilon_y=1e-6,
-                                       inf_value=1e6,
+                                       tol_p=1e-4, tol_d=1e-4, k_max=1000,
+                                       force_vector_rho=False,
                                        soft_constraints=False,
-                                       constrained_output=False, beta=10.0),
+                                       constrained_output=False, beta=1.0),
     # formulations/+HMPC/def_options_HMPC_ADMM.m:25-37
     ("HMPC", "ADMM", ""): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4, tol_d=1e-4,
                                k_max=1000, box_constraints=False,

@@ -27,6 +27,7 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
                                           get_bounds)
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
+from spcies_tpu.solvers.admm import admm_solve
 from spcies_tpu.solvers.common import SolveResult, inf_norm
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
@@ -237,3 +238,386 @@ def build_mpct_eadmm(sys: dict, param: dict, opt: Options,
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz1,
                          dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# ADMM-cs: compact/extended state space
+# ---------------------------------------------------------------------------
+
+def mpct_cs_equality_matrix(A: np.ndarray, B: np.ndarray, N: int):
+    """Equality matrix over the extended stage variables
+    z_j = (x_j, x_s, u_j, u_s), j = 0..N-1
+    (compute_MPCT_ADMM_cs_ingredients.m:96-113):
+      rows 0..n:      x_0 = x(t)
+      rows n..2n:     (A - I) x_s + B u_s = 0
+      per transition: A x_j + B u_j - x_{j+1} = 0; x_s, u_s constant
+      last n rows:    A x_{N-1} + B u_{N-1} = x_s
+    """
+    n, m = A.shape[0], B.shape[1]
+    sd = 2 * (n + m)                    # stage dim
+    neq = 2 * n + (2 * n + m) * (N - 1) + n
+    Aeq = np.zeros((neq, N * sd))
+    # init condition + steady-state condition on stage 0
+    Aeq[:n, :n] = np.eye(n)
+    Aeq[n:2 * n, n:2 * n] = A - np.eye(n)
+    Aeq[n:2 * n, 2 * n + m:sd] = B
+    r = 2 * n
+    for j in range(N - 1):
+        c = j * sd
+        # A x_j + B u_j - x_{j+1} = 0
+        Aeq[r:r + n, c:c + n] = A
+        Aeq[r:r + n, c + 2 * n:c + 2 * n + m] = B
+        Aeq[r:r + n, c + sd:c + sd + n] = -np.eye(n)
+        # x_s carried: x_s_j - x_s_{j+1} = 0
+        Aeq[r + n:r + 2 * n, c + n:c + 2 * n] = np.eye(n)
+        Aeq[r + n:r + 2 * n, c + sd + n:c + sd + 2 * n] = -np.eye(n)
+        # u_s carried
+        Aeq[r + 2 * n:r + 2 * n + m, c + 2 * n + m:c + sd] = np.eye(m)
+        Aeq[r + 2 * n:r + 2 * n + m, c + sd + 2 * n + m:c + 2 * sd] = -np.eye(m)
+        r += 2 * n + m
+    # terminal: A x_{N-1} + B u_{N-1} - x_s = 0
+    c = (N - 1) * sd
+    Aeq[r:r + n, c:c + n] = A
+    Aeq[r:r + n, c + n:c + 2 * n] = -np.eye(n)
+    Aeq[r:r + n, c + 2 * n:c + 2 * n + m] = B
+    return Aeq
+
+
+def mpct_admm_cs_ingredients(sys: dict, param: dict, opt: Options) -> dict:
+    """Offline ingredients (compute_MPCT_ADMM_cs_ingredients.m:83-141).
+    TPU-native: the reference's CSR SpMV + sparse LDL pipeline collapses
+    into the dense affine map z = M_q q_hat + M_b x0."""
+    A, B, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], dtype=float)
+    R = np.asarray(param["R"], dtype=float)
+    T = np.asarray(param["T"], dtype=float)
+    S = np.asarray(param["S"], dtype=float)
+    sd = 2 * (n + m)
+    nz = N * sd
+
+    rho = np.asarray(opt.solver["rho"], dtype=float)
+    force_vec = bool(opt.solver.get("force_vector_rho", False))
+    rho_is_scalar = rho.ndim == 0 and not force_vec
+    rho_vec = np.full(nz, float(rho)) if rho.ndim == 0 else rho.ravel().copy()
+    if rho_vec.size != nz:
+        raise ValueError(f"rho vector must have length {nz}")
+
+    Qz = np.block([[Q, -Q], [-Q, Q + T / N]])
+    Rz = np.block([[R, -R], [-R, R + S / N]])
+    H = linalg.blkdiag(*([linalg.blkdiag(Qz, Rz)] * N))
+    Hhat = H + np.diag(rho_vec)
+    Hinv = np.linalg.inv(Hhat)
+
+    G = mpct_cs_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+    GH = G @ Hinv
+    Winv = np.linalg.inv(W)
+    M_q = GH.T @ (Winv @ GH) - Hinv
+    M_b = GH.T @ Winv[:, :n]          # beq nonzero only in x_0 = x(t) rows
+
+    # eps-tightened bounds on every stage (:115-122)
+    LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
+    eps_x = float(opt.solver["epsilon_x"])
+    eps_u = float(opt.solver["epsilon_u"])
+    LBst = np.concatenate([LBx, LBx + eps_x, LBu, LBu + eps_u])
+    UBst = np.concatenate([UBx, UBx - eps_x, UBu, UBu - eps_u])
+    LB = np.tile(LBst, N)
+    UB = np.tile(UBst, N)
+
+    return dict(
+        n=n, m=m, N=N, nz=nz, rho_is_scalar=rho_is_scalar,
+        A=A, B=B, T=T, S=S,
+        rho_vec=rho_vec, rho_inv_vec=1.0 / rho_vec,
+        rho_scalar=float(rho) if rho.ndim == 0 else None,
+        M_q=M_q, M_b=M_b, LB=LB, UB=UB,
+    )
+
+
+@register_builder("MPCT", "ADMM", "cs")
+def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
+                       backend: str = "dense") -> BatchedSolver:
+    """MPCT via ADMM on the extended (x_i, x_s, u_i, u_s) state space
+    (code_MPCT_ADMM_cs_C.c:94-218, spcies_MPCT_ADMM_cs_solver.m)."""
+    if backend not in ("dense",):
+        raise ValueError("MPCT/ADMM-cs has a dense backend")
+    ing = mpct_admm_cs_ingredients(sys, param, opt)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+
+    rho = (dtype(ing["rho_scalar"]) if ing["rho_is_scalar"]
+           else jnp.asarray(ing["rho_vec"], dtype))
+    rho_i = (dtype(1.0 / ing["rho_scalar"]) if ing["rho_is_scalar"]
+             else jnp.asarray(ing["rho_inv_vec"], dtype))
+    LB = jnp.asarray(ing["LB"], dtype)
+    UB = jnp.asarray(ing["UB"], dtype)
+    M_q = jnp.asarray(ing["M_q"], dtype)
+    M_b = jnp.asarray(ing["M_b"], dtype)
+    T = jnp.asarray(ing["T"], dtype)
+    S = jnp.asarray(ing["S"], dtype)
+
+    def make_z_step(x0):
+        if x0 is None:
+            return lambda dq: dq @ M_q.T
+        return lambda q_hat: q_hat @ M_q.T + x0 @ M_b.T
+
+    def proj(y):
+        return proj_box(y, LB, UB)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        # per-stage linear cost [0; -(T/N) xr; 0; -(S/N) ur]
+        # (spcies_MPCT_ADMM_cs_solver.m:172 with vars.Tz = -T/N)
+        qstage = jnp.concatenate(
+            [jnp.zeros_like(x0), -(xr @ T.T) / N,
+             jnp.zeros_like(ur), -(ur @ S.T) / N], axis=-1)
+        q_ref = jnp.tile(qstage, (1, N))
+        z, v, lam, k, e_flag, r_p, r_d = admm_solve(
+            make_z_step(x0), proj, q_ref, rho, rho_i, tol, tol, k_max,
+            batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
+            fixed_iters=fixed_iters, z_lin=make_z_step(None))
+        u = v[:, 2 * n:2 * n + m]
+        return SolveResult(u=u, k=k, e_flag=e_flag,
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# ADMM-semiband
+# ---------------------------------------------------------------------------
+
+def _soft_box_prox(y, lb, ub, br):
+    """Prox of the soft-constraint penalty beta*dist_box(v) at y — the
+    reference's five-case scalar branch
+    (spcies_MPCT_ADMM_semiband_solver.m:407-430), branch-free. br = beta/rho
+    (scalar or per-entry)."""
+    v1 = y + br
+    v3 = y - br
+    inside = (y >= lb) & (y <= ub)
+    return jnp.where(v1 <= lb, v1,
+                     jnp.where(inside, y,
+                               jnp.where(v3 >= ub, v3,
+                                         jnp.clip(y, lb, ub))))
+
+
+def mpct_semiband_equality_matrix(A: np.ndarray, B: np.ndarray, N: int):
+    """G over z = (x_0,u_0,...,x_{N-1},u_{N-1},x_s,u_s)
+    (compute_MPCT_ADMM_semiband_ingredients.m:136-151): x_0 = x(t), the N
+    dynamics rows (the last one maps into x_s), and the equilibrium row."""
+    n, m = A.shape[0], B.shape[1]
+    nm = n + m
+    nz = (N + 1) * nm
+    G = np.zeros(((N + 2) * n, nz))
+    G[:n, :n] = np.eye(n)
+    for k in range(N):
+        r = (k + 1) * n
+        c = k * nm
+        G[r:r + n, c:c + n] = A
+        G[r:r + n, c + n:c + nm] = B
+        G[r:r + n, c + nm:c + nm + n] = -np.eye(n)
+    G[-n:, -nm:-m] = A - np.eye(n)
+    G[-n:, -m:] = B
+    return G
+
+
+def mpct_admm_semiband_ingredients(sys: dict, param: dict,
+                                   opt: Options) -> dict:
+    """Offline ingredients (compute_MPCT_ADMM_semiband_ingredients.m).
+
+    TPU-native: the reference's two-level Woodbury (banded Gamma_hat +
+    rank-2(n+m) correction, ECC'24) exists to avoid dense factorization on
+    embedded CPUs; here the same KKT solve collapses into the dense affine
+    map z = M_q p + M_b x0 — algebraically identical, one MXU matmul online.
+    """
+    A, B, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], dtype=float)
+    R = np.asarray(param["R"], dtype=float)
+    T = np.asarray(param["T"], dtype=float)
+    S = np.asarray(param["S"], dtype=float)
+    nm = n + m
+    nz = (N + 1) * nm
+    constrained_output = bool(opt.solver["constrained_output"])
+    soft = bool(opt.solver["soft_constraints"])
+    eps_x = float(opt.solver["epsilon_x"])
+    eps_u = float(opt.solver["epsilon_u"])
+    eps_y = float(opt.solver["epsilon_y"])
+    beta = float(opt.solver["beta"])
+
+    if constrained_output:
+        C = np.asarray(sys["C"], dtype=float)
+        D = np.asarray(sys.get("D", np.zeros((C.shape[0], m))), dtype=float)
+        p = C.shape[0]
+        stage_map = np.vstack([np.hstack([np.eye(n), np.zeros((n, m))]),
+                               np.hstack([np.zeros((m, n)), np.eye(m)]),
+                               np.hstack([C, D])])
+        C_tilde = linalg.blkdiag(*([stage_map] * (N + 1)))
+    else:
+        p = 0
+        C_tilde = None
+    sv = nm + p            # per-stage v dimension
+    nv = (N + 1) * sv
+
+    rho = np.asarray(opt.solver["rho"], dtype=float)
+    force_vec = bool(opt.solver.get("force_vector_rho", False))
+    rho_is_scalar = rho.ndim == 0 and not force_vec
+    rho_vec = np.full(nv, float(rho)) if rho.ndim == 0 else rho.ravel().copy()
+    if rho_vec.size != nv:
+        raise ValueError(f"rho vector must have length {nv}")
+
+    # Hessian: banded stage costs + rank-(n+m) coupling to (x_s, u_s)
+    # (:119-133)
+    QR = linalg.blkdiag(Q, R)
+    H = linalg.blkdiag(*([QR] * N), linalg.blkdiag(N * Q + T, N * R + S))
+    H[:N * nm, -nm:] = np.tile(-QR, (N, 1))
+    H[-nm:, :N * nm] = np.tile(-QR, (1, N))
+
+    if constrained_output:
+        Hhat = H + C_tilde.T @ (rho_vec[:, None] * C_tilde)
+    else:
+        Hhat = H + np.diag(rho_vec)
+    Hinv = np.linalg.inv(Hhat)
+    G = mpct_semiband_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+    GH = G @ Hinv
+    Winv = np.linalg.inv(W)
+    M_q = GH.T @ (Winv @ GH) - Hinv
+    M_b = GH.T @ Winv[:, :n]
+
+    # per-entry bound vectors + soft mask over v (:358-520 branch layout)
+    LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
+    if constrained_output:
+        LBy = np.asarray(sys.get("LBy", -opt.inf_value * np.ones(p)),
+                         float).ravel()
+        UBy = np.asarray(sys.get("UBy", opt.inf_value * np.ones(p)),
+                         float).ravel()
+        stage_lb = np.concatenate([LBx, LBu, LBy])
+        stage_ub = np.concatenate([UBx, UBu, UBy])
+        eps_stage = np.concatenate([np.full(n, eps_x), np.full(m, eps_u),
+                                    np.full(p, eps_y)])
+    else:
+        stage_lb = np.concatenate([LBx, LBu])
+        stage_ub = np.concatenate([UBx, UBu])
+        eps_stage = np.concatenate([np.full(n, eps_x), np.full(m, eps_u)])
+
+    inf_v = opt.inf_value
+    lb0 = stage_lb.copy()
+    ub0 = stage_ub.copy()
+    lb0[:n] = -inf_v          # x_0 unconstrained
+    ub0[:n] = inf_v
+    if soft:                   # terminal untightened in soft mode
+        lbT, ubT = stage_lb, stage_ub
+    else:
+        lbT = stage_lb + eps_stage
+        ubT = stage_ub - eps_stage
+    LBv = np.concatenate([lb0] + [stage_lb] * (N - 1) + [lbT])
+    UBv = np.concatenate([ub0] + [stage_ub] * (N - 1) + [ubT])
+    # soft mask: x_0 and u_0 never soft; y_0 and stages 1..N soft
+    soft_mask = np.ones(nv, dtype=bool)
+    soft_mask[:nm] = False
+
+    return dict(
+        n=n, m=m, N=N, p=p, nz=nz, nv=nv,
+        rho_is_scalar=rho_is_scalar, rho_vec=rho_vec,
+        rho_scalar=float(rho) if rho.ndim == 0 else None,
+        A=A, T=T, S=S, M_q=M_q, M_b=M_b, C_tilde=C_tilde,
+        LBv=LBv, UBv=UBv, soft_mask=soft_mask,
+        beta=beta, soft=soft, constrained_output=constrained_output,
+    )
+
+
+@register_builder("MPCT", "ADMM", "semiband")
+def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
+                             backend: str = "dense") -> BatchedSolver:
+    """MPCT via ADMM on the semiband (non-extended) parameterization
+    (code_MPCT_ADMM_semiband_C.c:119-1125,
+    spcies_MPCT_ADMM_semiband_solver.m), with the reference's
+    soft-constraint and constrained-output options as static flags."""
+    if backend not in ("dense",):
+        raise ValueError("MPCT/ADMM-semiband has a dense backend")
+    ing = mpct_admm_semiband_ingredients(sys, param, opt)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    n, m, N, nz, nv = ing["n"], ing["m"], ing["N"], ing["nz"], ing["nv"]
+    tol_p = float(opt.solver["tol_p"])
+    tol_d = float(opt.solver["tol_d"])
+    k_max = int(opt.solver["k_max"])
+    soft = ing["soft"]
+    con_out = ing["constrained_output"]
+
+    if ing["rho_is_scalar"]:
+        rho = dtype(ing["rho_scalar"])
+        rho_i = dtype(1.0 / ing["rho_scalar"])
+    else:
+        rho = jnp.asarray(ing["rho_vec"], dtype)
+        rho_i = jnp.asarray(1.0 / ing["rho_vec"], dtype)
+    M_q = jnp.asarray(ing["M_q"], dtype)
+    M_b = jnp.asarray(ing["M_b"], dtype)
+    LBv = jnp.asarray(ing["LBv"], dtype)
+    UBv = jnp.asarray(ing["UBv"], dtype)
+    soft_mask = jnp.asarray(ing["soft_mask"])
+    beta_rho_i = ing["beta"] * rho_i
+    T = jnp.asarray(ing["T"], dtype)
+    S = jnp.asarray(ing["S"], dtype)
+    Ct = (jnp.asarray(ing["C_tilde"], dtype) if con_out else None)
+
+    def ct_apply(z):
+        return z @ Ct.T if con_out else z
+
+    def ct_t_apply(y):
+        return y @ Ct if con_out else y
+
+    def proj(y):
+        hard = proj_box(y, LBv, UBv)
+        if not soft:
+            return hard
+        return jnp.where(soft_mask,
+                         _soft_box_prox(y, LBv, UBv, beta_rho_i), hard)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        Bsz = x0.shape[0]
+        q = jnp.zeros((Bsz, nz), dtype)
+        q = q.at[:, -n - m:-m].set(-(xr @ T.T))
+        q = q.at[:, -m:].set(-(ur @ S.T))
+
+        if init is None:
+            z0_ = jnp.zeros((Bsz, nz), dtype)
+            v0 = jnp.zeros((Bsz, nv), dtype)
+            lam0 = jnp.zeros((Bsz, nv), dtype)
+        else:
+            z0_, v0, lam0 = init
+
+        def z_step(pvec):
+            return pvec @ M_q.T + x0 @ M_b.T
+
+        rinf = jnp.full((Bsz,), jnp.inf, dtype=dtype)
+        p0 = q + ct_t_apply(lam0 - rho * v0)
+        z1 = z_step(p0)
+        state0 = dict(z=z1, z_next=z1, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
+
+        def body(state, _it):
+            z = state["z_next"]
+            v_prev = state["v"]
+            lam = state["lam"]
+            zt = ct_apply(z)
+            v = proj(zt + rho_i * lam)
+            lam_new = lam + rho * (zt - v)
+            r_p = inf_norm(zt - v)
+            r_d = inf_norm(v - v_prev)
+            conv = (r_p <= tol_p) & (r_d <= tol_d)
+            # delta-form: dp = C~'(dlam - rho dv) = C~'(rho(zt - 2v + v_prev))
+            dp = ct_t_apply(rho * (zt - 2.0 * v + v_prev))
+            z_next = z + dp @ M_q.T
+            return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
+                         r_p=r_p, r_d=r_d), conv)
+
+        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                           fixed_iters=fixed_iters)
+        u = state["v"][:, n:n + m]
+        return SolveResult(u=u, k=k, e_flag=e_flag,
+                           sol=dict(z=state["z"], v=state["v"],
+                                    lam=state["lam"], r_p=state["r_p"],
+                                    r_d=state["r_d"]))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

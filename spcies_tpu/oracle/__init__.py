@@ -8,6 +8,8 @@ from spcies_tpu.oracle.dense import (
     ellipmpc_admm_oracle,
     ellipmpc_admm_soc_oracle,
     mpct_eadmm_oracle,
+    mpct_admm_cs_oracle,
+    mpct_admm_semiband_oracle,
 )
 
 __all__ = [
@@ -15,5 +17,6 @@ __all__ = [
     "laxmpc_admm_oracle", "equmpc_admm_oracle",
     "laxmpc_fista_oracle", "equmpc_fista_oracle",
     "ellipmpc_admm_oracle", "ellipmpc_admm_soc_oracle",
-    "mpct_eadmm_oracle",
+    "mpct_eadmm_oracle", "mpct_admm_cs_oracle",
+    "mpct_admm_semiband_oracle",
 ]

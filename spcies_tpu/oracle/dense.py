@@ -493,3 +493,177 @@ def equmpc_fista_oracle(sys, param, x0, xr, ur, *, tol=1e-4, k_max=1000):
     b[-n:] = xr
     return _fista_oracle(1.0 / h_diag, G, W, LB, UB, q, b, m,
                          tol=tol, k_max=k_max)
+
+
+def mpct_admm_cs_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
+                        k_max=1000, epsilon_x=1e-6, epsilon_u=1e-6):
+    """Reference-faithful dense ADMM for MPCT on the extended state space
+    (platforms/Matlab/spcies_MPCT_ADMM_cs_solver.m:139-226)."""
+    from spcies_tpu.formulations.mpct import mpct_cs_equality_matrix
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    S = np.asarray(param["S"], float)
+    sd = 2 * (n + m)
+    nz = N * sd
+
+    rho_vec = np.full(nz, float(rho)) if np.isscalar(rho) else np.asarray(rho)
+    Qz = np.block([[Q, -Q], [-Q, Q + T / N]])
+    Rz = np.block([[R, -R], [-R, R + S / N]])
+    H = linalg.blkdiag(*([linalg.blkdiag(Qz, Rz)] * N))
+    Hinv = np.linalg.inv(H + np.diag(rho_vec))
+    G = mpct_cs_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+
+    LBx = np.asarray(sys["LBx"], float)
+    UBx = np.asarray(sys["UBx"], float)
+    LBu = np.asarray(sys["LBu"], float)
+    UBu = np.asarray(sys["UBu"], float)
+    LB = np.tile(np.concatenate([LBx, LBx + epsilon_x,
+                                 LBu, LBu + epsilon_u]), N)
+    UB = np.tile(np.concatenate([UBx, UBx - epsilon_x,
+                                 UBu, UBu - epsilon_u]), N)
+
+    q = np.tile(np.concatenate([np.zeros(n), -(T @ xr) / N,
+                                np.zeros(m), -(S @ ur) / N]), N)
+    beq = np.zeros(G.shape[0])
+    beq[:n] = x0
+
+    z = np.zeros(nz)
+    v = np.zeros(nz)
+    lam = np.zeros(nz)
+    k = 0
+    e_flag = 0
+    r_p = r_d = np.inf
+    while e_flag == 0:
+        k += 1
+        v_prev = v
+        q_hat = q + lam - rho_vec * v
+        z = solve_eq_qp(Hinv, G, W, q_hat, beq)
+        v = solve_box_qp(z + lam / rho_vec, LB, UB)
+        lam = lam + rho_vec * (z - v)
+        r_p = np.max(np.abs(z - v))
+        r_d = np.max(np.abs(v - v_prev))
+        if r_p <= tol and r_d <= tol:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    u = v[2 * n:2 * n + m].copy()
+    return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
+
+
+def mpct_admm_semiband_oracle(sys, param, x0, xr, ur, *, rho=1e-2,
+                              tol_p=1e-4, tol_d=1e-4, k_max=1000,
+                              epsilon_x=1e-6, epsilon_u=1e-6, epsilon_y=1e-6,
+                              soft_constraints=False,
+                              constrained_output=False, beta=1.0,
+                              inf_value=1e30):
+    """Reference-faithful dense ADMM for MPCT-semiband
+    (platforms/Matlab/spcies_MPCT_ADMM_semiband_solver.m:163-560). The
+    mirror's two-level Woodbury z-update equals the direct equality-QP
+    solve used here (Alg. 2 is an exact inverse application)."""
+    from spcies_tpu.formulations.mpct import mpct_semiband_equality_matrix
+    A = np.asarray(sys["A"], float)
+    B = np.asarray(sys["B"], float)
+    n, m = A.shape[0], B.shape[1]
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], float)
+    R = np.asarray(param["R"], float)
+    T = np.asarray(param["T"], float)
+    S = np.asarray(param["S"], float)
+    nm = n + m
+    nz = (N + 1) * nm
+
+    if constrained_output:
+        C = np.asarray(sys["C"], float)
+        D = np.asarray(sys.get("D", np.zeros((C.shape[0], m))), float)
+        p = C.shape[0]
+        stage_map = np.vstack([np.hstack([np.eye(n), np.zeros((n, m))]),
+                               np.hstack([np.zeros((m, n)), np.eye(m)]),
+                               np.hstack([C, D])])
+        Ct = linalg.blkdiag(*([stage_map] * (N + 1)))
+    else:
+        p = 0
+        Ct = np.eye(nz)
+    sv = nm + p
+    nv = (N + 1) * sv
+
+    QR = linalg.blkdiag(Q, R)
+    H = linalg.blkdiag(*([QR] * N), linalg.blkdiag(N * Q + T, N * R + S))
+    H[:N * nm, -nm:] = np.tile(-QR, (N, 1))
+    H[-nm:, :N * nm] = np.tile(-QR, (1, N))
+    Hhat = H + rho * (Ct.T @ Ct)
+    Hinv = np.linalg.inv(Hhat)
+    G = mpct_semiband_equality_matrix(A, B, N)
+    W = G @ Hinv @ G.T
+
+    LBx = np.asarray(sys.get("LBx", -inf_value * np.ones(n)), float)
+    UBx = np.asarray(sys.get("UBx", inf_value * np.ones(n)), float)
+    LBu = np.asarray(sys.get("LBu", -inf_value * np.ones(m)), float)
+    UBu = np.asarray(sys.get("UBu", inf_value * np.ones(m)), float)
+    if constrained_output:
+        LBy = np.asarray(sys.get("LBy", -inf_value * np.ones(p)), float)
+        UBy = np.asarray(sys.get("UBy", inf_value * np.ones(p)), float)
+        st_lb = np.concatenate([LBx, LBu, LBy])
+        st_ub = np.concatenate([UBx, UBu, UBy])
+        eps = np.concatenate([np.full(n, epsilon_x), np.full(m, epsilon_u),
+                              np.full(p, epsilon_y)])
+    else:
+        st_lb = np.concatenate([LBx, LBu])
+        st_ub = np.concatenate([UBx, UBu])
+        eps = np.concatenate([np.full(n, epsilon_x), np.full(m, epsilon_u)])
+    lb0 = st_lb.copy(); ub0 = st_ub.copy()
+    lb0[:n] = -inf_value; ub0[:n] = inf_value
+    if soft_constraints:
+        lbT, ubT = st_lb, st_ub
+    else:
+        lbT, ubT = st_lb + eps, st_ub - eps
+    LB = np.concatenate([lb0] + [st_lb] * (N - 1) + [lbT])
+    UB = np.concatenate([ub0] + [st_ub] * (N - 1) + [ubT])
+    soft_mask = np.ones(nv, dtype=bool)
+    soft_mask[:nm] = False
+
+    q = np.zeros(nz)
+    q[-nm:-m] = -(T @ xr)
+    q[-m:] = -(S @ ur)
+    beq = np.zeros((N + 2) * n)
+    beq[:n] = x0
+    br = beta / rho
+
+    z = np.zeros(nz)
+    v = np.zeros(nv)
+    v_old = np.zeros(nv)
+    lam = np.zeros(nv)
+    k = 0
+    e_flag = 0
+    r_p = r_d = np.inf
+    while e_flag == 0:
+        k += 1
+        pvec = q + Ct.T @ (lam - rho * v)
+        z = solve_eq_qp(Hinv, G, W, pvec, beq)
+        y = Ct @ z + lam / rho
+        hard = np.clip(y, LB, UB)
+        if soft_constraints:
+            v1 = y + br
+            v3 = y - br
+            softv = np.where(v1 <= LB, v1,
+                             np.where((y >= LB) & (y <= UB), y,
+                                      np.where(v3 >= UB, v3,
+                                               np.clip(y, LB, UB))))
+            v = np.where(soft_mask, softv, hard)
+        else:
+            v = hard
+        lam = lam + rho * (Ct @ z - v)
+        r_p = np.max(np.abs(Ct @ z - v))
+        r_d = np.max(np.abs(v - v_old))
+        if r_p <= tol_p and r_d <= tol_d:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+        v_old = v
+    u = v[n:n + m].copy()
+    return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)

@@ -1,0 +1,116 @@
+"""Differential tests for MPCT-ADMM-semiband. The reference harness does
+not cover this solver (SURVEY.md §4), so the oracle here is the in-repo
+dense mirror of spcies_MPCT_ADMM_semiband_solver.m, exercised across the
+solver's option matrix: hard/soft constraints x plain/constrained output."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+from spcies_tpu.oracle import mpct_admm_semiband_oracle
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    sys, param, status = sp.systems.tester_fixture()
+    param = dict(param)
+    param["T"] = 10.0 * np.asarray(param["Q"])
+    param["S"] = np.asarray(param["R"]).copy()
+    return sys, param, status
+
+
+OPTS = dict(rho=0.5, tol_p=1e-7, tol_d=1e-7, k_max=5000)
+
+
+def _run_pair(sys, param, st, **extra):
+    opts = {**OPTS, **extra}
+    s = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                       submethod="semiband", **opts)
+    res = s(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = mpct_admm_semiband_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], **opts)
+    return s, res, (u_o, k_o, e_o, sol_o)
+
+
+def test_hard_vs_oracle(fixture):
+    sys, param, st = fixture
+    s, res, (u_o, k_o, e_o, sol_o) = _run_pair(sys, param, st)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+    assert np.max(np.abs(np.asarray(res.u[0]) - u_o)) < 1e-9
+
+
+def test_hard_u_matches_eadmm(fixture):
+    """semiband solves the same MPCT QP as EADMM: control actions agree."""
+    sys, param, st = fixture
+    _, res, _ = _run_pair(sys, param, st)
+    s_ea = sp.make_solver(sys, param, formulation="MPCT", method="EADMM",
+                          rho_base=2.0, rho_mult=20.0, tol=1e-7, k_max=5000)
+    u_ea = np.asarray(s_ea(st["x"], st["xr"], st["ur"]).u[0])
+    assert np.max(np.abs(np.asarray(res.u[0]) - u_ea)) < 1e-4
+
+
+def test_soft_vs_oracle(fixture):
+    sys, param, st = fixture
+    s, res, (u_o, k_o, e_o, sol_o) = _run_pair(sys, param, st,
+                                               soft_constraints=True,
+                                               beta=1.0)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+
+
+def test_soft_allows_violation_with_infeasible_x0(fixture):
+    """With an initial state outside the feasible tube, soft constraints
+    must still converge (the hard version may not)."""
+    sys, param, st = fixture
+    x_bad = np.asarray(st["x"]) * 20.0   # positions beyond the 0.3 bound
+    s = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                       submethod="semiband", rho=0.5, tol_p=1e-5,
+                       tol_d=1e-5, k_max=5000, soft_constraints=True,
+                       beta=1.0)
+    res = s(x_bad, st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
+
+
+def test_constrained_output_vs_oracle(fixture):
+    sys, param, st = fixture
+    sys = dict(sys)
+    n, m = len(st["x"]), 2
+    # constrain the three mass positions as outputs y = C x
+    sys["C"] = np.eye(3, n)
+    sys["D"] = np.zeros((3, m))
+    sys["LBy"] = -0.25 * np.ones(3)
+    sys["UBy"] = 0.25 * np.ones(3)
+    s, res, (u_o, k_o, e_o, sol_o) = _run_pair(sys, param, st,
+                                               constrained_output=True)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+    # the output bound must bind tighter than the state bound it shadows
+    v = np.asarray(res.sol["v"][0])
+    sv = s.n + s.m + 3
+    for l in range(1, s.N):
+        y_l = v[l * sv + s.n + s.m: (l + 1) * sv]
+        assert np.all(y_l <= 0.25 + 1e-8)
+
+
+def test_soft_constrained_output_vs_oracle(fixture):
+    sys, param, st = fixture
+    sys = dict(sys)
+    n, m = len(st["x"]), 2
+    sys["C"] = np.eye(3, n)
+    sys["D"] = np.zeros((3, m))
+    sys["LBy"] = -0.25 * np.ones(3)
+    sys["UBy"] = 0.25 * np.ones(3)
+    s, res, (u_o, k_o, e_o, sol_o) = _run_pair(
+        sys, param, st, constrained_output=True, soft_constraints=True,
+        beta=2.0)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
