@@ -96,21 +96,23 @@ SOLVER_REGISTRY: dict[tuple[str, str, str], dict[str, Any]] = {
                                        soft_constraints=False,
                                        constrained_output=False, beta=1.0),
     # formulations/+HMPC/def_options_HMPC_ADMM.m:25-37
+    # box_constraints=None means auto-detect from whether sys has an E
+    # field (cons_HMPC_ADMM_C.m:57-63; reference default is [])
     ("HMPC", "ADMM", ""): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4, tol_d=1e-4,
-                               k_max=1000, box_constraints=False,
-                               sparse=False, use_soc=False),
+                               k_max=1000, box_constraints=None,
+                               sparse=False, use_soc=False, alpha=0.95),
     ("HMPC", "ADMM", "split"): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4,
                                     tol_d=1e-4, k_max=1000,
-                                    box_constraints=False, sparse=False,
-                                    use_soc=False),
-    # formulations/+HMPC/def_options_HMPC_SADMM.m (delegates to ADMM + alpha)
+                                    box_constraints=None, sparse=False,
+                                    use_soc=False, alpha=0.95),
+    # formulations/+HMPC/def_options_HMPC_SADMM.m (delegates to ADMM)
     ("HMPC", "SADMM", "split"): dict(rho=1e-2, sigma=1e-2, tol_p=1e-4,
                                      tol_d=1e-4, k_max=1000,
-                                     box_constraints=False, sparse=False,
+                                     box_constraints=None, sparse=False,
                                      use_soc=False, alpha=0.95),
     # formulations/+HMPC/def_options_ellipHMPC_ADMM.m:18-31
     ("ellipHMPC", "ADMM", ""): dict(rho=1e-2, sigma=0.0, tol_p=1e-4,
-                                    tol_d=1e-4, k_max=1000),
+                                    tol_d=1e-4, k_max=1000, use_soc=False),
 }
 
 

@@ -10,6 +10,9 @@ from spcies_tpu.oracle.dense import (
     mpct_eadmm_oracle,
     mpct_admm_cs_oracle,
     mpct_admm_semiband_oracle,
+    hmpc_admm_oracle,
+    hmpc_split_oracle,
+    elliphmpc_admm_oracle,
 )
 
 __all__ = [
@@ -19,4 +22,6 @@ __all__ = [
     "ellipmpc_admm_oracle", "ellipmpc_admm_soc_oracle",
     "mpct_eadmm_oracle", "mpct_admm_cs_oracle",
     "mpct_admm_semiband_oracle",
+    "hmpc_admm_oracle", "hmpc_split_oracle",
+    "elliphmpc_admm_oracle",
 ]

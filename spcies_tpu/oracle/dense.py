@@ -667,3 +667,238 @@ def mpct_admm_semiband_oracle(sys, param, x0, xr, ur, *, rho=1e-2,
         v_old = v
     u = v[n:n + m].copy()
     return u, k, e_flag, dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d)
+
+
+def _proj_soc_np(y):
+    """+sp_utils/proj_SOC.m three-case form."""
+    y0, y1 = y[0], y[1:]
+    ny1 = np.linalg.norm(y1)
+    if ny1 <= y0:
+        return y.copy()
+    if ny1 <= -y0:
+        return np.zeros_like(y)
+    step = (y0 + ny1) / (2 * ny1)
+    return step * np.concatenate([[ny1], y1])
+
+
+def _proj_ssoc_np(y, alpha, dd):
+    """+sp_utils/proj_SSOC.m: shifted SOC ||y1|| <= alpha*(y0 - d)."""
+    y0, y1 = y[0], y[1:]
+    ny1 = np.linalg.norm(y1)
+    corr = alpha * (y0 - dd)
+    if ny1 <= corr:
+        return y.copy()
+    if ny1 <= -corr:
+        return np.concatenate([[dd], np.zeros_like(y1)])
+    step = (corr + ny1) / (2 * ny1)
+    return np.concatenate([[step * ny1 * alpha + dd], step * y1])
+
+
+def _proj_d_np(y, lb, ub):
+    """+sp_utils/proj_D.m: diamond = two shifted-SOC projections."""
+    return _proj_ssoc_np(_proj_ssoc_np(y, 1.0, lb), -1.0, ub)
+
+
+def _hmpc_cone_proj_np(ing, tail):
+    if ing["use_soc"]:
+        out = tail.copy()
+        for j in range(ing["n_soc"]):
+            out[3 * j:3 * j + 3] = _proj_soc_np(tail[3 * j:3 * j + 3])
+        return out
+    out = tail.copy()
+    for j in range(ing["n_y"]):
+        out[3 * j:3 * j + 3] = _proj_d_np(tail[3 * j:3 * j + 3],
+                                          ing["LBy"][j], ing["UBy"][j])
+    return out
+
+
+def hmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol_p=1e-4,
+                     tol_d=1e-4, k_max=1000, use_soc=False,
+                     box_constraints=None, **_ignored):
+    """Reference-faithful dense single-split HMPC ADMM
+    (platforms/Matlab/spcies_HMPC_ADMM_solver.m:125-198)."""
+    from spcies_tpu.formulations.hmpc import hmpc_common_ingredients
+    from spcies_tpu.config import Options
+    opt = Options(formulation="HMPC", method="ADMM",
+                  solver=dict(rho=rho, use_soc=use_soc,
+                              box_constraints=box_constraints))
+    ing = hmpc_common_ingredients(sys, param, opt, split=False)
+    n, m = ing["n"], ing["m"]
+    n_box, n_s = ing["n_box"], ing["n_s"]
+
+    Hh = ing["H"] + rho * (ing["C"].T @ ing["C"])
+    Hhi = np.linalg.inv(Hh)
+    G = ing["G"]
+    W = G @ Hhi @ G.T
+    Winv = np.linalg.inv(W)
+    M1 = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
+    M2 = (Hhi @ G.T @ Winv)[:, :n]
+    C, d = ing["C"], ing["d"]
+    A = ing["A"]
+    Te, Se, Q = ing["Te"], ing["Se"], ing["Q"]
+    ns = ing["ns"]
+    # Q x0 terms per the authoritative generated C (code_HMPC_ADMM_C.c:
+    # 92-101); the reference's MATLAB mirror omits them (upstream bug)
+    q = -np.concatenate([np.zeros(ns), Te @ xr + Q @ x0, np.zeros(n),
+                         Q @ x0, Se @ ur, np.zeros(2 * m)])
+    b = -A @ x0
+
+    s = np.zeros(n_s)
+    lam = np.zeros(n_s)
+    s_ant = s
+    k = 0
+    e_flag = 0
+    rp = rd = np.inf
+    z = None
+    while e_flag == 0:
+        k += 1
+        q_hat = q + C.T @ (rho * (s - d) + lam)
+        z = M1 @ q_hat + M2 @ b
+        Czd = C @ z - d
+        s_proj = -Czd - lam / rho
+        s = s_proj.copy()
+        s[:n_box] = np.clip(s_proj[:n_box], ing["box_LB"], ing["box_UB"])
+        s[n_box:] = _hmpc_cone_proj_np(ing, s_proj[n_box:])
+        resid = Czd + s
+        lam = lam + rho * resid
+        rp = np.max(np.abs(resid))
+        rd = np.max(np.abs(s - s_ant))
+        s_ant = s
+        if rp <= tol_p and rd <= tol_d:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    return z[:m].copy(), k, e_flag, dict(z=z, s=s, lam=lam, r_p=rp, r_d=rd)
+
+
+def hmpc_split_oracle(sys, param, x0, xr, ur, *, rho=1e-2, sigma=1e-2,
+                      tol_p=1e-4, tol_d=1e-4, k_max=1000, use_soc=False,
+                      box_constraints=None, symmetric=False, alpha=0.95,
+                      **_ignored):
+    """Reference-faithful dense two-block split HMPC (S)ADMM
+    (platforms/Matlab/spcies_HMPC_{ADMM,SADMM}_split_solver.m)."""
+    from spcies_tpu.formulations.hmpc import hmpc_common_ingredients
+    from spcies_tpu.config import Options
+    opt = Options(formulation="HMPC", method="ADMM",
+                  solver=dict(rho=rho, use_soc=use_soc,
+                              box_constraints=box_constraints))
+    ing = hmpc_common_ingredients(sys, param, opt, split=True)
+    n, m = ing["n"], ing["m"]
+    dim, n_s, ns, n_eq = ing["dim"], ing["n_s"], ing["ns"], ing["n_eq"]
+    n_box = ing["n_box"]
+    box_mode = ing["box_constraints"]
+    if not symmetric:
+        alpha = 1.0
+
+    Hh = linalg.blkdiag(ing["H"] + sigma * np.eye(dim), rho * np.eye(n_s))
+    Gh = np.block([[ing["G"], np.zeros((n_eq, n_s))],
+                   [ing["C"], np.eye(n_s)]])
+    Hhi = np.linalg.inv(Hh)
+    W = Gh @ Hhi @ Gh.T
+    Winv = np.linalg.inv(W)
+    M1 = Hhi @ Gh.T @ Winv @ Gh @ Hhi - Hhi
+    M2 = Hhi @ Gh.T @ Winv
+    A = ing["A"]
+    Te, Se, Q = ing["Te"], ing["Se"], ing["Q"]
+    q = -np.concatenate([np.zeros(ns), Te @ xr + Q @ x0, np.zeros(n),
+                         Q @ x0, Se @ ur, np.zeros(2 * m)])
+    bh = np.concatenate([-A @ x0, np.zeros(n_eq - n), ing["d"]])
+
+    z = np.zeros(dim)
+    s = np.zeros(n_s)
+    lam = np.zeros(dim)
+    mu = np.zeros(n_s)
+    z_ant, s_ant = z, s
+    k = 0
+    e_flag = 0
+    rp = rd = np.inf
+    while e_flag == 0:
+        k += 1
+        q_hat = np.concatenate([q - sigma * z + lam, mu - rho * s])
+        rhs = M1 @ q_hat + M2 @ bh
+        z_hat, s_hat = rhs[:dim], rhs[dim:]
+        if symmetric:
+            lam = lam + alpha * sigma * (z_hat - z)
+            mu = mu + alpha * rho * (s_hat - s)
+        z = z_hat + lam / sigma
+        if box_mode:
+            z[:ns] = np.clip(z[:ns], ing["box_LB"], ing["box_UB"])
+        s_proj = s_hat + mu / rho
+        if box_mode:
+            s = _hmpc_cone_proj_np(ing, s_proj)
+        else:
+            s = s_proj.copy()
+            s[:n_box] = np.clip(s_proj[:n_box], ing["box_LB"],
+                                ing["box_UB"])
+            s[n_box:] = _hmpc_cone_proj_np(ing, s_proj[n_box:])
+        lam = lam + alpha * sigma * (z_hat - z)
+        mu = mu + alpha * rho * (s_hat - s)
+        rp = max(np.max(np.abs(z_hat - z)), np.max(np.abs(s_hat - s)))
+        rd = max(np.max(np.abs(z - z_ant)), np.max(np.abs(s - s_ant)))
+        z_ant, s_ant = z, s
+        if rp <= tol_p and rd <= tol_d:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    return z[:m].copy(), k, e_flag, dict(
+        z=z, s=s, z_hat=z_hat, s_hat=s_hat, lam=lam, mu=mu, r_p=rp, r_d=rd)
+
+
+def elliphmpc_admm_oracle(sys, param, x0, xre, xrs, xrc, ure, urs, urc, *,
+                          rho=1e-2, sigma=0.0, tol_p=1e-4, tol_d=1e-4,
+                          k_max=1000, use_soc=False, **_ignored):
+    """Dense mirror of the generated ellipHMPC C solver
+    (formulations/+HMPC/code_ellipHMPC_ADMM_C.c; the reference ships no
+    MATLAB mirror for this solver): single-split ADMM with decomposed
+    harmonic references and sigma-tightened D-set bounds."""
+    from spcies_tpu.formulations.hmpc import hmpc_common_ingredients
+    from spcies_tpu.config import Options
+    opt = Options(formulation="HMPC", method="ADMM",
+                  solver=dict(rho=rho, use_soc=use_soc,
+                              box_constraints=False))
+    ing = hmpc_common_ingredients(sys, param, opt, split=False)
+    n, m = ing["n"], ing["m"]
+    n_box, n_s, ns = ing["n_box"], ing["n_s"], ing["ns"]
+    ing_t = dict(ing, LBy=ing["LBy"] + sigma, UBy=ing["UBy"] - sigma)
+
+    Hh = ing["H"] + rho * (ing["C"].T @ ing["C"])
+    Hhi = np.linalg.inv(Hh)
+    G = ing["G"]
+    W = G @ Hhi @ G.T
+    Winv = np.linalg.inv(W)
+    M1 = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
+    M2 = (Hhi @ G.T @ Winv)[:, :n]
+    C, d = ing["C"], ing["d"]
+    Q, Te, Th = ing["Q"], ing["Te"], ing["Th"]
+    Se, Sh = ing["Se"], ing["Sh"]
+    qx0 = Q @ x0
+    q = -np.concatenate([np.zeros(ns), Te @ xre + qx0, Th @ xrs,
+                         Th @ xrc + qx0, Se @ ure, Sh @ urs, Sh @ urc])
+    b = -ing["A"] @ x0
+
+    s = np.zeros(n_s)
+    lam = np.zeros(n_s)
+    s_ant = s
+    k = 0
+    e_flag = 0
+    rp = rd = np.inf
+    z = None
+    while e_flag == 0:
+        k += 1
+        q_hat = q + C.T @ (rho * (s - d) + lam)
+        z = M1 @ q_hat + M2 @ b
+        Czd = C @ z - d
+        s_proj = -Czd - lam / rho
+        s = s_proj.copy()
+        s[:n_box] = np.clip(s_proj[:n_box], ing["box_LB"], ing["box_UB"])
+        s[n_box:] = _hmpc_cone_proj_np(ing_t, s_proj[n_box:])
+        resid = Czd + s
+        lam = lam + rho * resid
+        rp = np.max(np.abs(resid))
+        rd = np.max(np.abs(s - s_ant))
+        s_ant = s
+        if rp <= tol_p and rd <= tol_d:
+            e_flag = 1
+        elif k >= k_max:
+            e_flag = -1
+    return z[:m].copy(), k, e_flag, dict(z=z, s=s, lam=lam, r_p=rp, r_d=rd)

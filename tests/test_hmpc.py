@@ -1,0 +1,103 @@
+"""Differential tests for the HMPC family (tests/test_HMPC_ADMM.m,
+test_HMPC_ADMM_s.m, test_HMPC_SADMM_s.m pattern): single-split ADMM,
+two-block split ADMM, and symmetric SADMM, each with diamond (use_soc=False)
+and shifted-SOC (use_soc=True) harmonic constraint sets."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+from spcies_tpu.oracle import hmpc_admm_oracle, hmpc_split_oracle
+from tests.golden.hmpc_golden import Z_OPT
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    sys, param, status = sp.systems.tester_fixture()
+    param = dict(param)
+    param.pop("T", None)
+    # test_HMPC_ADMM.m:14-21
+    param["w"] = 3 * 1.627 * 0.2
+    param["Te"] = 10 * param["N"] * np.asarray(param["Q"])
+    param["Th"] = param["Te"]
+    param["Se"] = np.asarray(param["R"]).copy()
+    param["Sh"] = 0.5 * param["Se"]
+    return sys, param, status
+
+
+OPTS = dict(rho=2.0, sigma=20.0, tol_p=1e-7, tol_d=1e-7, k_max=5000)
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_single_vs_oracle_and_golden(fixture, use_soc):
+    sys, param, st = fixture
+    s = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                       use_soc=use_soc, **OPTS)
+    res = s(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = hmpc_admm_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], use_soc=use_soc, **OPTS)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "s", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-8
+    assert np.max(np.abs(np.asarray(res.sol["z"][0]) - Z_OPT)) <= 1e-4
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_split_vs_oracle_and_golden(fixture, use_soc):
+    sys, param, st = fixture
+    s = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                       submethod="split", use_soc=use_soc, **OPTS)
+    res = s(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = hmpc_split_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], use_soc=use_soc,
+        symmetric=False, **OPTS)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "s", "lam", "mu"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-8
+    assert np.max(np.abs(np.asarray(res.sol["z"][0]) - Z_OPT)) <= 1e-4
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_sadmm_vs_oracle_and_golden(fixture, use_soc):
+    sys, param, st = fixture
+    s = sp.make_solver(sys, param, formulation="HMPC", method="SADMM",
+                       submethod="split", use_soc=use_soc, alpha=0.95,
+                       **OPTS)
+    res = s(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = hmpc_split_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], use_soc=use_soc,
+        symmetric=True, alpha=0.95, **OPTS)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "s", "lam", "mu"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-8
+    assert np.max(np.abs(np.asarray(res.sol["z"][0]) - Z_OPT)) <= 1e-4
+
+
+def test_sadmm_differs_from_admm_iterations(fixture):
+    """The symmetric half-step must actually change the trajectory."""
+    sys, param, st = fixture
+    s_a = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                         submethod="split", **OPTS)
+    s_s = sp.make_solver(sys, param, formulation="HMPC", method="SADMM",
+                         submethod="split", alpha=0.95, **OPTS)
+    k_a = int(s_a(st["x"], st["xr"], st["ur"]).k[0])
+    k_s = int(s_s(st["x"], st["xr"], st["ur"]).k[0])
+    assert k_a != k_s
+
+
+def test_batched_masking(fixture):
+    sys, param, st = fixture
+    s = sp.make_solver(sys, param, formulation="HMPC", method="ADMM", **OPTS)
+    rng = np.random.default_rng(13)
+    B = 3
+    x0s = st["x"][None, :] * rng.uniform(-2.0, 2.0, size=(B, 1))
+    batched = s(x0s, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1)))
+    for i in range(B):
+        solo = s(x0s[i], st["xr"], st["ur"])
+        assert int(batched.k[i]) == int(solo.k[0])
+        np.testing.assert_allclose(np.asarray(batched.sol["z"][i]),
+                                   np.asarray(solo.sol["z"][0]),
+                                   rtol=0, atol=1e-12)
