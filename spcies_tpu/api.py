@@ -20,16 +20,25 @@ import numpy as np
 from spcies_tpu.config import Options, default_options
 
 
-def broadcast_inputs(dtype, *arrays):
-    """Promote per-call inputs to batched [B, dim] jnp arrays; scalars /
-    single problems ([dim]) get a singleton batch dim. All inputs must agree
-    on B."""
+def broadcast_inputs(dtype, *arrays, core_ndims=None):
+    """Promote per-call inputs to batched [B, ...] jnp arrays; single
+    problems (core-rank arrays) get a singleton batch dim. All inputs must
+    agree on B.
+
+    core_ndims: per-input rank of one problem's data (default 1 — vectors;
+    matrix inputs like the time-varying solvers' A are rank 2)."""
+    if core_ndims is None:
+        core_ndims = (1,) * len(arrays)
     out = []
     B = None
-    for a in arrays:
+    for a, cnd in zip(arrays, core_ndims):
         a = jnp.asarray(a, dtype)
-        if a.ndim == 1:
-            a = a[None, :]
+        if a.ndim == cnd:
+            a = a[None]
+        elif a.ndim != cnd + 1:
+            raise ValueError(
+                f"input must have rank {cnd} (one problem) or {cnd + 1} "
+                f"(batched); got rank {a.ndim}")
         if B is None:
             B = a.shape[0]
         elif a.shape[0] == 1 and B > 1:
@@ -55,7 +64,8 @@ class BatchedSolver:
 
     def __init__(self, solve_fn, ingredients: dict, options: Options,
                  *, n: int, m: int, N: int, nz: int, dtype,
-                 input_names=("x0", "xr", "ur"), default_inputs=()):
+                 input_names=("x0", "xr", "ur"), default_inputs=(),
+                 input_core_ndims=None):
         self.ingredients = ingredients
         self.options = options
         self.n, self.m, self.N, self.nz = n, m, N, nz
@@ -64,6 +74,9 @@ class BatchedSolver:
         # trailing optional inputs (e.g. the soc solvers' runtime radius,
         # code_ellipMPC_ADMM_soc_C.c:20 r_ellip) with their default values
         self.default_inputs = tuple(default_inputs)
+        self.input_core_ndims = (tuple(input_core_ndims)
+                                 if input_core_ndims is not None
+                                 else (1,) * len(input_names))
         self.n_inputs = len(input_names)
         # solve_fn(*inputs, init, fixed_iters) with static fixed_iters
         self.raw_fn = solve_fn
@@ -80,7 +93,8 @@ class BatchedSolver:
         elif len(inputs) > self.n_inputs:
             raise TypeError(
                 f"solver expects inputs {self.input_names}, got {len(inputs)}")
-        inputs = broadcast_inputs(self.dtype, *inputs)
+        inputs = broadcast_inputs(self.dtype, *inputs,
+                                  core_ndims=self.input_core_ndims)
         return self._jitted(*inputs, init, fixed_iters)
 
     def solve(self, *inputs, **kw):

@@ -102,6 +102,9 @@ def _equmpc_q_ref(ing, xr, ur, dtype):
 @register_builder("equMPC", "ADMM")
 def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                       backend: str = "dense") -> BatchedSolver:
+    if opt.time_varying:
+        from spcies_tpu.formulations.laxmpc import _tv_admm_solver
+        return _tv_admm_solver(sys, param, opt, terminal=False)
     ing = equmpc_admm_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -197,6 +200,9 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
                        backend: str = "dense") -> BatchedSolver:
     """equMPC via dual FISTA (code_equMPC_FISTA_C.c,
     spcies_equMPC_FISTA_solver.m)."""
+    if opt.time_varying:
+        from spcies_tpu.formulations.laxmpc import _tv_fista_solver
+        return _tv_fista_solver(sys, param, opt, terminal=False)
     from spcies_tpu.solvers.fista import fista_solve
     ing = equmpc_fista_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32

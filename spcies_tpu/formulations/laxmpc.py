@@ -119,6 +119,8 @@ def _q_ref(ing, xr, ur, dtype):
 @register_builder("laxMPC", "ADMM")
 def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                       backend: str = "dense") -> BatchedSolver:
+    if opt.time_varying:
+        return _tv_admm_solver(sys, param, opt, terminal=True)
     ing = laxmpc_admm_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -275,6 +277,8 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
                        backend: str = "dense") -> BatchedSolver:
     """laxMPC via dual FISTA (code_laxMPC_FISTA_C.c,
     spcies_laxMPC_FISTA_solver.m)."""
+    if opt.time_varying:
+        return _tv_fista_solver(sys, param, opt, terminal=True)
     from spcies_tpu.solvers.fista import fista_solve
     ing = laxmpc_fista_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
@@ -301,3 +305,228 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, lam=y, res=res))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Time-varying mode (opt.time_varying): per-call (A, B, Q, R, LB, UB)
+# ---------------------------------------------------------------------------
+
+def _tv_admm_solver(sys, param, opt, *, terminal: bool):
+    """Shared time-varying ADMM builder for laxMPC (terminal=True) and
+    equMPC (terminal=False).
+
+    Mirrors the reference's TIME_VARYING=1 solvers: 9-input signature
+    (x0, xr, ur, A, B, Qdiag, Rdiag, LB, UB) with LB/UB = [LBx; LBu] held
+    constant over the horizon (struct_laxMPC_ADMM_C_Matlab.c:29-88), scalar
+    rho only (cons_laxMPC_ADMM_C.m:47-52), and the Alpha/Beta band factors
+    recomputed online (code_laxMPC_ADMM_C.c:150-279) — here as a batched
+    blocked-Cholesky scan (kernels.online_band_chol), so every lane can
+    carry a DIFFERENT model, which the reference cannot express.
+    """
+    from spcies_tpu.kernels.band_chol import band_chol_solve
+    from spcies_tpu.kernels.online_band_chol import online_band_chol_fn
+    from spcies_tpu.formulations import stagewise
+
+    A0, B0, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    nz = N * (n + m) - (0 if terminal else n)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    rho_f = opt.solver["rho"]
+    if not np.isscalar(rho_f):
+        raise ValueError("time-varying mode requires scalar rho "
+                         "(cons_laxMPC_ADMM_C.m:47-52)")
+    rho = dtype(float(rho_f))
+    rho_i = dtype(1.0 / float(rho_f))
+
+    if terminal:
+        T = np.asarray(param["T"], dtype=float)
+        # (T + rho I)^-1 is computed OFFLINE (T is not time-varying;
+        # compute_laxMPC_ADMM_ingredients.m:109-118)
+        T_rho_i_np = np.linalg.inv(T + float(rho_f) * np.eye(n))
+        T_rho_i = jnp.asarray(T_rho_i_np, dtype)
+        Tj = jnp.asarray(T, dtype)
+    else:
+        T_rho_i = None
+        Tj = None
+    chol_fn = online_band_chol_fn(N, terminal)
+
+    def _solve(x0, xr, ur, A, B, Qd, Rd, LB, UB, init, fixed_iters):
+        Bsz = x0.shape[0]
+        Qhat_inv = 1.0 / (Qd + rho)              # [B, n]
+        Rhat_inv = 1.0 / (Rd + rho)              # [B, m]
+        Alpha, BetaInv = chol_fn(A, B, Qhat_inv, Rhat_inv, T_rho_i)
+        AB = jnp.concatenate([A, B], axis=-1)    # [B, n, n+m]
+        Hi_0 = Rhat_inv
+        Hi_mid = jnp.tile(jnp.concatenate([Qhat_inv, Rhat_inv], axis=-1),
+                          (1, N - 1)).reshape(Bsz, N - 1, n + m)
+
+        def hinv(q):
+            q0, qm, qN = stagewise.split_z(q, n, m, N, terminal)
+            hN = qN @ T_rho_i.T if terminal else None
+            return Hi_0 * q0, Hi_mid * qm, hN
+
+        def z_step_full(q_hat, b0, xr_rhs):
+            h0, hm, hN = hinv(q_hat)
+            rhs = -stagewise.g_apply(h0, hm, hN, A, B, AB)
+            rhs = rhs.at[:, 0].add(-b0)
+            if not terminal:
+                rhs = rhs.at[:, -1].add(-xr_rhs)
+            mu = band_chol_solve(rhs, Alpha, BetaInv)
+            g0, gm, gN = stagewise.split_z(
+                stagewise.gt_apply(mu, n, m, B, AB, terminal),
+                n, m, N, terminal)
+            z0 = -(h0 + Hi_0 * g0)
+            zm = -(hm + Hi_mid * gm)
+            zN = -(hN + gN @ T_rho_i.T) if terminal else None
+            return stagewise.join_z(z0, zm, zN)
+
+        def z_lin(dq):
+            h0, hm, hN = hinv(dq)
+            rhs = -stagewise.g_apply(h0, hm, hN, A, B, AB)
+            mu = band_chol_solve(rhs, Alpha, BetaInv)
+            g0, gm, gN = stagewise.split_z(
+                stagewise.gt_apply(mu, n, m, B, AB, terminal),
+                n, m, N, terminal)
+            z0 = -(h0 + Hi_0 * g0)
+            zm = -(hm + Hi_mid * gm)
+            zN = -(hN + gN @ T_rho_i.T) if terminal else None
+            return stagewise.join_z(z0, zm, zN)
+
+        # stacked bounds from the per-call single-stage [LBx; LBu]
+        LBx, LBu = LB[:, :n], LB[:, n:]
+        UBx, UBu = UB[:, :n], UB[:, n:]
+        mid_lb = jnp.tile(jnp.concatenate([LBx, LBu], axis=-1), (1, N - 1))
+        mid_ub = jnp.tile(jnp.concatenate([UBx, UBu], axis=-1), (1, N - 1))
+        if terminal:
+            LB_z = jnp.concatenate([LBu, mid_lb, LBx], axis=-1)
+            UB_z = jnp.concatenate([UBu, mid_ub, UBx], axis=-1)
+        else:
+            LB_z = jnp.concatenate([LBu, mid_lb], axis=-1)
+            UB_z = jnp.concatenate([UBu, mid_ub], axis=-1)
+
+        # linear cost from runtime diagonals
+        qu = -ur * Rd
+        mid_q = jnp.tile(jnp.concatenate([-xr * Qd, qu], axis=-1),
+                         (1, N - 1))
+        if terminal:
+            q_ref = jnp.concatenate([qu, mid_q, -(xr @ Tj.T)], axis=-1)
+        else:
+            q_ref = jnp.concatenate([qu, mid_q], axis=-1)
+
+        b0 = -jnp.einsum("bij,bj->bi", A, x0)
+
+        def proj(y):
+            return proj_box(y, LB_z, UB_z)
+
+        z, v, lam, k, e_flag, r_p, r_d = admm_solve(
+            lambda qh: z_step_full(qh, b0, xr), proj, q_ref, rho, rho_i,
+            tol, tol, k_max, batch=Bsz, nz=nz, dtype=dtype, init=init,
+            fixed_iters=fixed_iters, z_lin=z_lin)
+        return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
+
+    return BatchedSolver(
+        _solve, dict(n=n, m=m, N=N, nz=nz), opt, n=n, m=m, N=N, nz=nz,
+        dtype=dtype,
+        input_names=("x0", "xr", "ur", "A", "B", "Q", "R", "LB", "UB"),
+        input_core_ndims=(1, 1, 1, 2, 2, 1, 1, 1, 1))
+
+
+def _tv_fista_solver(sys, param, opt, *, terminal: bool):
+    """Time-varying dual FISTA for laxMPC (terminal=True) / equMPC
+    (terminal=False): same 9-input signature as the TIME_VARYING ADMM
+    (code_laxMPC_FISTA_C.c TIME_VARYING path); W = G H^-1 G' factored
+    online per lane (no rho in H)."""
+    from spcies_tpu.kernels.band_chol import band_chol_solve
+    from spcies_tpu.kernels.online_band_chol import online_band_chol_fn
+    from spcies_tpu.formulations import stagewise
+    from spcies_tpu.solvers.fista import fista_solve
+
+    A0, B0, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    nz = N * (n + m) - (0 if terminal else n)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+
+    if terminal:
+        T = np.asarray(param["T"], dtype=float)
+        if not np.allclose(T, np.diag(np.diag(T))):
+            raise ValueError("laxMPC/FISTA requires diagonal T")
+        Td = np.diag(T).copy()
+        T_inv = jnp.asarray(np.diag(1.0 / Td), dtype)
+        Td_j = jnp.asarray(Td, dtype)
+    else:
+        T_inv = None
+        Td_j = None
+    chol_fn = online_band_chol_fn(N, terminal)
+
+    def _solve(x0, xr, ur, A, B, Qd, Rd, LB, UB, init, fixed_iters):
+        Bsz = x0.shape[0]
+        Qinv = 1.0 / Qd
+        Rinv = 1.0 / Rd
+        Alpha, BetaInv = chol_fn(A, B, Qinv, Rinv, T_inv)
+        AB = jnp.concatenate([A, B], axis=-1)
+        if terminal:
+            hinv = jnp.concatenate(
+                [Rinv, jnp.tile(jnp.concatenate([Qinv, Rinv], axis=-1),
+                                (1, N - 1)), 1.0 / Td_j[None, :].repeat(
+                                    Bsz, axis=0)], axis=-1)
+        else:
+            hinv = jnp.concatenate(
+                [Rinv, jnp.tile(jnp.concatenate([Qinv, Rinv], axis=-1),
+                                (1, N - 1))], axis=-1)
+
+        LBx, LBu = LB[:, :n], LB[:, n:]
+        UBx, UBu = UB[:, :n], UB[:, n:]
+        mid_lb = jnp.tile(jnp.concatenate([LBx, LBu], axis=-1), (1, N - 1))
+        mid_ub = jnp.tile(jnp.concatenate([UBx, UBu], axis=-1), (1, N - 1))
+        if terminal:
+            LB_z = jnp.concatenate([LBu, mid_lb, LBx], axis=-1)
+            UB_z = jnp.concatenate([UBu, mid_ub, UBx], axis=-1)
+        else:
+            LB_z = jnp.concatenate([LBu, mid_lb], axis=-1)
+            UB_z = jnp.concatenate([UBu, mid_ub], axis=-1)
+
+        qu = -ur * Rd
+        mid_q = jnp.tile(jnp.concatenate([-xr * Qd, qu], axis=-1),
+                         (1, N - 1))
+        if terminal:
+            q_ref = jnp.concatenate([qu, mid_q, -xr * Td_j], axis=-1)
+        else:
+            q_ref = jnp.concatenate([qu, mid_q], axis=-1)
+
+        b = jnp.zeros((Bsz, N * n), dtype)
+        b = b.at[:, :n].set(-jnp.einsum("bij,bj->bi", A, x0))
+        if not terminal:
+            b = b.at[:, -n:].set(xr)
+
+        def z_from_y(y):
+            mu = y.reshape(Bsz, N, n)
+            q = q_ref - stagewise.gt_apply(mu, n, m, B, AB, terminal)
+            return proj_box(-hinv * q, LB_z, UB_z)
+
+        def resid(z):
+            z0, zm, zN = stagewise.split_z(z, n, m, N, terminal)
+            gz = stagewise.g_apply(z0, zm, zN, A, B, AB)
+            return b - gz.reshape(Bsz, -1)
+
+        def w_solve(r):
+            mu = band_chol_solve(r.reshape(Bsz, N, n), Alpha, BetaInv)
+            return mu.reshape(Bsz, -1)
+
+        lam_init = init if init is None else init[0]
+        z, y, lam, k, e_flag, res = fista_solve(
+            z_from_y, resid, w_solve, tol=tol, k_max=k_max, batch=Bsz,
+            nlam=N * n, dtype=dtype, lam_init=lam_init,
+            fixed_iters=fixed_iters)
+        return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
+                           sol=dict(z=z, lam=y, res=res))
+
+    return BatchedSolver(
+        _solve, dict(n=n, m=m, N=N, nz=nz), opt, n=n, m=m, N=N, nz=nz,
+        dtype=dtype,
+        input_names=("x0", "xr", "ur", "A", "B", "Q", "R", "LB", "UB"),
+        input_core_ndims=(1, 1, 1, 2, 2, 1, 1, 1, 1))

@@ -37,11 +37,17 @@ def join_z(z0, zm, zN):
 
 def g_apply(z0, zm, zN, A_, B_, AB):
     """G z -> [B, N, n]. Row 0: B u0 - x1; row l: [A B](x_l,u_l) - x_{l+1}
-    (x_N present only when terminal)."""
-    n = A_.shape[0]
-    r0 = z0 @ B_.T - zm[:, 0, :n]
-    r_mid = jnp.einsum("blj,ij->bli", zm[:, :-1], AB) - zm[:, 1:, :n]
-    r_last = zm[:, -1] @ AB.T
+    (x_N present only when terminal). A_/B_/AB may carry a leading batch
+    dim (per-lane model matrices, time-varying mode)."""
+    n = A_.shape[-2]
+    if AB.ndim == 3:
+        r0 = jnp.einsum("bj,bij->bi", z0, B_) - zm[:, 0, :n]
+        r_mid = jnp.einsum("blj,bij->bli", zm[:, :-1], AB) - zm[:, 1:, :n]
+        r_last = jnp.einsum("bj,bij->bi", zm[:, -1], AB)
+    else:
+        r0 = z0 @ B_.T - zm[:, 0, :n]
+        r_mid = jnp.einsum("blj,ij->bli", zm[:, :-1], AB) - zm[:, 1:, :n]
+        r_last = zm[:, -1] @ AB.T
     if zN is not None:
         r_last = r_last - zN
     return jnp.concatenate([r0[:, None], r_mid, r_last[:, None]], axis=1)
@@ -99,10 +105,13 @@ def make_banded_eq_qp(ing, dtype, terminal):
 def gt_apply(mu, n, m, B_, AB, terminal):
     """G^T mu -> flat [B, nz]. u_0 gets B^T mu_0; stage block l (=(x_l,u_l),
     l=1..N-1) gets [A B]^T mu_l - (mu_{l-1} on the x part); x_N (terminal)
-    gets -mu_{N-1}."""
-    Bsz = mu.shape[0]
-    g0 = mu[:, 0] @ B_
-    gm = jnp.einsum("bli,ij->blj", mu[:, 1:], AB)
+    gets -mu_{N-1}. B_/AB may carry a leading batch dim."""
+    if AB.ndim == 3:
+        g0 = jnp.einsum("bi,bij->bj", mu[:, 0], B_)
+        gm = jnp.einsum("bli,bij->blj", mu[:, 1:], AB)
+    else:
+        g0 = mu[:, 0] @ B_
+        gm = jnp.einsum("bli,ij->blj", mu[:, 1:], AB)
     gm = gm.at[:, :, :n].add(-mu[:, :-1])
     gN = -mu[:, -1] if terminal else None
     return join_z(g0, gm, gN)
