@@ -20,7 +20,7 @@ def main():
     import spcies_tpu as sp
 
     N = 30            # BASELINE.json metric horizon
-    BATCH = 4096
+    BATCH = 16384     # throughput-optimal on one chip (see PERF notes)
     TOL = 1e-4        # reference default tolerance (def_options_laxMPC_ADMM.m)
     K_MAX = 1000
 
@@ -28,7 +28,7 @@ def main():
     param = dict(param)
     param["N"] = N
     opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=TOL,
-                              k_max=K_MAX)
+                              k_max=K_MAX, bf16_delta=True)
     opts.precision = "float"
     solver = sp.make_solver(sys_, param, formulation="laxMPC", method="ADMM",
                             options=opts)

