@@ -65,7 +65,7 @@ class BatchedSolver:
     def __init__(self, solve_fn, ingredients: dict, options: Options,
                  *, n: int, m: int, N: int, nz: int, dtype,
                  input_names=("x0", "xr", "ur"), default_inputs=(),
-                 input_core_ndims=None):
+                 input_core_ndims=None, input_kinds=None):
         self.ingredients = ingredients
         self.options = options
         self.n, self.m, self.N, self.nz = n, m, N, nz
@@ -77,10 +77,51 @@ class BatchedSolver:
         self.input_core_ndims = (tuple(input_core_ndims)
                                  if input_core_ndims is not None
                                  else (1,) * len(input_names))
+        # per-input unit kind for the in_engineering scaling
+        # ('x' | 'u' | 'xu' | None), defaulting to the (x0, xr, ur)
+        # signature (code_laxMPC_ADMM_C.c:82-115)
+        if input_kinds is None:
+            input_kinds = tuple(
+                {"x0": "x", "xr": "x", "ur": "u", "LB": "xu",
+                 "UB": "xu"}.get(name) for name in input_names)
+        self.input_kinds = tuple(input_kinds)
         self.n_inputs = len(input_names)
         # solve_fn(*inputs, init, fixed_iters) with static fixed_iters
         self.raw_fn = solve_fn
         self._jitted = jax.jit(solve_fn, static_argnums=(self.n_inputs + 1,))
+
+        # engineering-units scaling; populated by make_solver from sys
+        # (reference Nx/Nu/x0/u0 fields, +sp_utils/scale_ss.m)
+        self._Nx = np.ones(n)
+        self._Nu = np.ones(m)
+        self._opx = np.zeros(n)
+        self._opu = np.zeros(m)
+
+    def set_engineering(self, sys: dict):
+        """Install scaling vectors / operating point for in_engineering mode
+        (sys fields Nx, Nu, x0, u0; spcies_gen_controller sys conventions)."""
+        n, m = self.n, self.m
+        self._Nx = np.asarray(sys.get("Nx", np.ones(n)), float).ravel()
+        self._Nu = np.asarray(sys.get("Nu", np.ones(m)), float).ravel()
+        self._opx = np.asarray(sys.get("x0", np.zeros(n)), float).ravel()
+        self._opu = np.asarray(sys.get("u0", np.zeros(m)), float).ravel()
+
+    def _to_incremental(self, inputs):
+        """Engineering -> incremental units: x = Nx*(x_eng - opx) etc.
+        (code_laxMPC_ADMM_C.c:82-99; TIME_VARYING bounds :93-97)."""
+        out = []
+        for a, kind in zip(inputs, self.input_kinds):
+            if kind == "x":
+                a = self._Nx * (np.asarray(a, float) - self._opx)
+            elif kind == "u":
+                a = self._Nu * (np.asarray(a, float) - self._opu)
+            elif kind == "xu":
+                a = np.asarray(a, float)
+                sc = np.concatenate([self._Nx, self._Nu])
+                op = np.concatenate([self._opx, self._opu])
+                a = sc * (a - op)
+            out.append(a)
+        return tuple(out)
 
     def __call__(self, *inputs, init=None, fixed_iters=None):
         if len(inputs) < self.n_inputs:
@@ -93,9 +134,19 @@ class BatchedSolver:
         elif len(inputs) > self.n_inputs:
             raise TypeError(
                 f"solver expects inputs {self.input_names}, got {len(inputs)}")
+        if self.options.in_engineering:
+            inputs = self._to_incremental(inputs)
         inputs = broadcast_inputs(self.dtype, *inputs,
                                   core_ndims=self.input_core_ndims)
-        return self._jitted(*inputs, init, fixed_iters)
+        res = self._jitted(*inputs, init, fixed_iters)
+        if self.options.in_engineering:
+            # de-scale the control move (code_laxMPC_ADMM_C.c:642-651);
+            # sol iterates stay in incremental units like the C DEBUG output
+            import dataclasses as _dc
+            res = _dc.replace(
+                res, u=res.u / jnp.asarray(self._Nu, self.dtype)
+                + jnp.asarray(self._opu, self.dtype))
+        return res
 
     def solve(self, *inputs, **kw):
         return self(*inputs, **kw)
@@ -130,4 +181,7 @@ def make_solver(sys: dict, param: dict, *, formulation: str,
 
     from spcies_tpu.formulations.base import get_builder
     builder = get_builder(opt.formulation, opt.method, opt.submethod)
-    return builder(sys, param, opt, backend=backend)
+    solver = builder(sys, param, opt, backend=backend)
+    if opt.in_engineering:
+        solver.set_engineering(sys)
+    return solver

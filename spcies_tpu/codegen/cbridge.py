@@ -1,0 +1,50 @@
+"""ctypes bridge to a generated C solver — the analogue of the reference's
+MEX bridges (struct_laxMPC_ADMM_C_Matlab.c:8-170): argument validation +
+output marshalling around the compiled native solve function.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+
+class CompiledCSolver:
+    """Loads lib<name>.so produced by generate_c_solver and exposes the
+    same (u, k, e_flag, sol) interface as the JAX solvers (per problem,
+    not batched — this is the embedded deployment path)."""
+
+    def __init__(self, name: str, n: int, m: int, nz: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.nz = n, m, nz
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr, dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        if x0.size != self.n or xr.size != self.n or ur.size != self.m:
+            raise ValueError(
+                f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
+        u = np.zeros(self.m)
+        z = np.zeros(self.nz)
+        v = np.zeros(self.nz)
+        lam = np.zeros(self.nz)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, v, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, v=v, lam=lam, run_time_ms=float(ms.value))

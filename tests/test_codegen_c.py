@@ -1,0 +1,77 @@
+"""Differential tests for the generated plain-C solvers: generate C from
+the tester fixture, compile with cc, run through the ctypes bridge, and
+compare iterates against the JAX solver (both fp64) — the reference's
+sparse-vs-oracle 1e-10 contract (tests/spcies_tester.m:260) applied to the
+C backend."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+from spcies_tpu.codegen import (generate_c_solver, clear_generated,
+                                CompiledCSolver)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    sys, param, status = sp.systems.tester_fixture()
+    param = dict(param)
+    param["T"] = np.diag(np.sum(param["T"], axis=1))
+    outdir = str(tmp_path_factory.mktemp("generated_solvers"))
+    return sys, param, status, outdir
+
+
+OPTS = dict(rho=15.0, tol=1e-7, k_max=5000)
+
+
+@pytest.mark.parametrize("formulation", ["laxMPC", "equMPC"])
+def test_c_solver_matches_jax(fixture, formulation):
+    sys, param, st, outdir = fixture
+    p = dict(param)
+    if formulation == "equMPC":
+        p.pop("T")
+    c_path = generate_c_solver(sys, p, formulation=formulation,
+                               directory=outdir, **OPTS)
+    assert c_path.endswith(".c")
+    s_jax = sp.make_solver(sys, p, formulation=formulation, method="ADMM",
+                           **OPTS)
+    c = CompiledCSolver(f"{formulation.lower()}_admm", n=s_jax.n,
+                        m=s_jax.m, nz=s_jax.nz, directory=outdir)
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        for key in ("z", "v", "lam"):
+            gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
+            assert gap < 1e-10, (key, gap)
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+        assert sol_c["run_time_ms"] > 0.0
+
+
+def test_generated_source_is_selfcontained(fixture):
+    """The emitted C must carry its own data (static const) and compile
+    with no includes beyond libc."""
+    sys, param, st, outdir = fixture
+    c_path = generate_c_solver(sys, param, formulation="laxMPC",
+                               directory=outdir, **OPTS)
+    src = open(c_path).read()
+    assert "static const double ALPHA" in src
+    assert "static const double BETAINV" in src
+    for inc in ("math.h", "string.h", "time.h"):
+        assert f"#include <{inc}>" in src
+    # no external data dependencies
+    assert "extern" not in src
+
+
+def test_clear_generated(fixture, tmp_path):
+    sys, param, st, _ = fixture
+    d = str(tmp_path / "gen")
+    generate_c_solver(sys, param, formulation="laxMPC", directory=d, **OPTS)
+    import os
+    assert os.path.isdir(d)
+    clear_generated(d)
+    assert not os.path.isdir(d)
