@@ -18,7 +18,8 @@ Public API:
 
 __version__ = "0.1.0"
 
-from spcies_tpu.config import Options, default_options, SOLVER_REGISTRY
+from spcies_tpu.config import (Options, default_options, SOLVER_REGISTRY,
+                               determine_formulation)
 from spcies_tpu.api import make_solver
 from spcies_tpu import systems
 from spcies_tpu import formulations
@@ -33,6 +34,7 @@ __all__ = [
     "Options",
     "default_options",
     "SOLVER_REGISTRY",
+    "determine_formulation",
     "make_solver",
     "systems",
     "formulations",

@@ -152,7 +152,7 @@ class BatchedSolver:
         return self(*inputs, **kw)
 
 
-def make_solver(sys: dict, param: dict, *, formulation: str,
+def make_solver(sys: dict, param: dict, *, formulation: str = "",
                 method: str = "", submethod: str = "",
                 options: Options | dict | None = None,
                 backend: str = "dense", **solver_overrides) -> BatchedSolver:
@@ -160,8 +160,14 @@ def make_solver(sys: dict, param: dict, *, formulation: str,
 
     sys:   dict with A, B, LBx, UBx, LBu, UBu (reference `sys` struct)
     param: dict with the formulation's ingredients (Q, R, N, ...; reference
-           `param` struct)
+           `param` struct). If formulation is omitted it is auto-detected
+           from the param fields (+sp_utils/determine_formulation.m).
     """
+    if not formulation and (options is None
+                            or isinstance(options, dict)
+                            or not options.formulation):
+        from spcies_tpu.config import determine_formulation
+        formulation = determine_formulation(param)
     if options is None:
         opt = default_options(formulation, method, submethod,
                               **solver_overrides)

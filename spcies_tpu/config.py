@@ -180,3 +180,24 @@ def default_options(formulation: str, method: str = "",
     opts = Options(formulation=formulation, method=method,
                    submethod=submethod, solver=dict(solver_overrides))
     return opts
+
+
+def determine_formulation(param: dict) -> str:
+    """Auto-detect the MPC formulation from the param fields
+    (+sp_utils/determine_formulation.m:33-42): S -> MPCT, c -> ellipMPC,
+    P -> laxMPC; w (harmonic base frequency) additionally -> HMPC (new —
+    the reference has no harmonic auto-detect)."""
+    if "S" in param:
+        return "MPCT"
+    if "w" in param:
+        return "HMPC"
+    if "c" in param:
+        return "ellipMPC"
+    if "P" in param:
+        return "laxMPC"
+    if "T" in param:
+        return "laxMPC"
+    raise ValueError(
+        "MPC formulation not recognized from the given param fields; "
+        "specify formulation= explicitly "
+        "(+sp_utils/determine_formulation.m:46-48)")

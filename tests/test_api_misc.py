@@ -1,0 +1,104 @@
+"""API-surface tests: CLI dispatcher, formulation auto-detection, the
+`personal` formulation escape hatch, and the tutorial examples."""
+
+import os
+import subprocess
+import sys as _sys
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+
+
+def test_determine_formulation():
+    assert sp.determine_formulation(dict(Q=1, R=1, T=1, S=1)) == "MPCT"
+    assert sp.determine_formulation(dict(Q=1, R=1, w=0.5)) == "HMPC"
+    assert sp.determine_formulation(dict(Q=1, R=1, P=1, c=0)) == "ellipMPC"
+    assert sp.determine_formulation(dict(Q=1, R=1, P=1)) == "laxMPC"
+    assert sp.determine_formulation(dict(Q=1, R=1, T=1)) == "laxMPC"
+    with pytest.raises(ValueError, match="not recognized"):
+        sp.determine_formulation(dict(Q=1, R=1))
+
+
+def test_make_solver_autodetects(tmp_path):
+    sys, param, st = sp.systems.tester_fixture()
+    s = sp.make_solver(sys, param, rho=15.0, tol=1e-4, k_max=1000)
+    assert s.options.formulation == "laxMPC"
+    res = s(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
+
+
+def test_personal_formulation_hatch():
+    """A user-registered formulation builds and solves through make_solver
+    (the reference's formulations/+personal/ plugin dir,
+    spcies_gen_controller.m:101)."""
+    from spcies_tpu.formulations import register_builder, BUILDERS
+    from spcies_tpu.api import BatchedSolver
+    from spcies_tpu.solvers.common import SolveResult
+    import jax.numpy as jnp
+
+    key = ("personal", "gradientDescent", "")
+    if key in BUILDERS:
+        del BUILDERS[key]
+
+    @register_builder("personal", "gradientDescent")
+    def build(sys, param, opt, backend="dense"):
+        n = np.asarray(sys["A"]).shape[0]
+
+        def _solve(x0, xr, ur, init, fixed_iters):
+            u = -0.5 * x0[:, :2]
+            B = x0.shape[0]
+            return SolveResult(u=u, k=jnp.ones(B, jnp.int32),
+                               e_flag=jnp.ones(B, jnp.int32), sol={})
+        return BatchedSolver(_solve, {}, opt, n=n, m=2, N=1, nz=n,
+                             dtype=jnp.float64)
+
+    sys, param, st = sp.systems.tester_fixture()
+    s = sp.make_solver(sys, param, formulation="personal",
+                       method="gradientDescent")
+    res = s(st["x"], st["xr"], st["ur"])
+    np.testing.assert_allclose(np.asarray(res.u[0]),
+                               -0.5 * np.asarray(st["x"][:2]))
+    del BUILDERS[key]
+
+
+def _run_cli(*args, cwd=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([_sys.executable, "-m", "spcies_tpu", *args],
+                          capture_output=True, text=True, cwd=cwd, env=env)
+
+
+def test_cli_version_root_help(tmp_path):
+    out = _run_cli("version")
+    assert out.returncode == 0 and sp.__version__ in out.stdout
+    out = _run_cli("root")
+    assert out.returncode == 0 and "spcies_tpu" in out.stdout
+    out = _run_cli("help")
+    assert out.returncode == 0 and "help topics" in out.stdout
+    out = _run_cli("help", "codegen")
+    assert out.returncode == 0 and "generate_c_solver" in out.stdout
+    out = _run_cli("help", "nonexistent_topic")
+    assert out.returncode == 1
+
+
+def test_cli_gen_demo(tmp_path):
+    out = _run_cli("gen", "--demo", "--directory", str(tmp_path / "g"),
+                   "--rho", "15.0")
+    assert out.returncode == 0, out.stderr
+    assert os.path.exists(tmp_path / "g" / "laxmpc_admm.c")
+    assert os.path.exists(tmp_path / "g" / "liblaxmpc_admm.so")
+
+
+@pytest.mark.parametrize("script", [
+    "t00_basic_tutorial.py", "t01_time_varying.py", "t02_plain_c.py",
+    "t03_real_systems.py", "t04_dev_solver_versions.py"])
+def test_examples_run(script, tmp_path):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1",
+               PYTHONPATH=root)
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "examples", script)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert out.returncode == 0, (out.stdout, out.stderr)
