@@ -216,12 +216,20 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
             return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d",))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         v = state["v"]
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=state["z"], v=v, lam=state["lam"],
-                                    r_p=state["r_p"], r_d=state["r_d"]))
+                                    r_p=state["r_p"], r_d=state["r_d"],
+                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
+                        if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -373,8 +381,14 @@ def build_ellipmpc_admm_soc(sys: dict, param: dict, opt: Options,
             return (dict(aux=aux, aux_next=aux_next, z=z, s=s,
                          lam=lam_new, mu=mu_new, r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d",))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         z = state["z"]
         aux = state["aux"]
         return SolveResult(
@@ -382,7 +396,9 @@ def build_ellipmpc_admm_soc(sys: dict, param: dict, opt: Options,
             sol=dict(z=z, s=state["s"],
                      z_hat=aux[:, :dim], s_hat=aux[:, dim:],
                      lam=state["lam"], mu=state["mu"],
-                     r_p=state["r_p"], r_d=state["r_d"]))
+                     r_p=state["r_p"], r_d=state["r_d"],
+                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
+                        if hist else {})))
 
     return BatchedSolver(
         _solve, ing, opt, n=n, m=m, N=N, nz=dim, dtype=dtype,

@@ -151,13 +151,15 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
     def _solve(x0, xr, ur, init, fixed_iters):
         b0 = -(x0 @ A.T)
         q_ref = _equmpc_q_ref(ing, xr, ur, dtype)
-        z, v, lam, k, e_flag, r_p, r_d = admm_solve(
+        z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             make_z_step(b0, xr), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters, z_lin=make_z_step(None, None))
+            fixed_iters=fixed_iters, z_lin=make_z_step(None, None),
+            history=opt.debug)
         u = v[:, :m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
-                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
+                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -222,11 +224,13 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
         b = b.at[:, :n].set(-(x0 @ A.T))
         b = b.at[:, -n:].set(xr)
         lam_init = init if init is None else init[0]
-        z, y, lam, k, e_flag, res = fista_solve(
+        z, y, lam, k, e_flag, res, hist = fista_solve(
             z_from_y_f(q_ref), resid_f(b), w_solve,
             tol=tol, k_max=k_max, batch=Bsz, nlam=N * n, dtype=dtype,
-            lam_init=lam_init, fixed_iters=fixed_iters)
+            lam_init=lam_init, fixed_iters=fixed_iters,
+            history=opt.debug)
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
-                           sol=dict(z=z, lam=y, res=res))
+                           sol=dict(z=z, lam=y, res=res,
+                                    **({'hRes': hist['res']} if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

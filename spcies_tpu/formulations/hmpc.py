@@ -338,12 +338,20 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
             return (dict(z=z, z_next=z_next, s=s, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d",))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         z = state["z"]
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, s=state["s"], lam=state["lam"],
-                                    r_p=state["r_p"], r_d=state["r_d"]))
+                                    r_p=state["r_p"], r_d=state["r_d"],
+                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
+                        if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
                          dtype=dtype)
@@ -460,15 +468,23 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
             return (dict(aux=aux, aux_next=aux_next, z=z, s=s,
                          lam=lam_new, mu=mu_new, r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d",))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         z = state["z"]
         aux = state["aux"]
         return SolveResult(
             u=z[:, :m], k=k, e_flag=e_flag,
             sol=dict(z=z, s=state["s"], z_hat=aux[:, :dim],
                      s_hat=aux[:, dim:], lam=state["lam"], mu=state["mu"],
-                     r_p=state["r_p"], r_d=state["r_d"]))
+                     r_p=state["r_p"], r_d=state["r_d"],
+                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
+                        if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
                          dtype=dtype)
@@ -588,12 +604,20 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
             return (dict(z=z, z_next=z_next, s=s, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d",))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         z = state["z"]
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, s=state["s"], lam=state["lam"],
-                                    r_p=state["r_p"], r_d=state["r_d"]))
+                                    r_p=state["r_p"], r_d=state["r_d"],
+                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
+                        if hist else {})))
 
     return BatchedSolver(
         _solve, ing, opt, n=n, m=m, N=N, nz=dim, dtype=dtype,

@@ -227,14 +227,24 @@ def build_mpct_eadmm(sys: dict, param: dict, opt: Options,
             return (dict(z1=z1, z2=z2_new, z3=z3_new, lam=lam_new,
                          r_pf=r_pf, r_z2=r_z2, r_z3=r_z3), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_pf", "r_z2", "r_z3"))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         u = state["z1"][:, n:n + m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z1=state["z1"], z2=state["z2"],
                                     z3=state["z3"], lam=state["lam"],
                                     r_pf=state["r_pf"], r_z2=state["r_z2"],
-                                    r_z3=state["r_z3"]))
+                                    r_z3=state["r_z3"],
+                                    **({"hRpf": hist["r_pf"],
+                                        "hRz2": hist["r_z2"],
+                                        "hRz3": hist["r_z3"]}
+                                       if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz1,
                          dtype=dtype)
@@ -373,13 +383,15 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
             [jnp.zeros_like(x0), -(xr @ T.T) / N,
              jnp.zeros_like(ur), -(ur @ S.T) / N], axis=-1)
         q_ref = jnp.tile(qstage, (1, N))
-        z, v, lam, k, e_flag, r_p, r_d = admm_solve(
+        z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             make_z_step(x0), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters, z_lin=make_z_step(None))
+            fixed_iters=fixed_iters, z_lin=make_z_step(None),
+            history=opt.debug)
         u = v[:, 2 * n:2 * n + m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
-                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d))
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
+                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -612,12 +624,21 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
             return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
-        state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
-                                           fixed_iters=fixed_iters)
+        if opt.debug:
+            state, k, e_flag, hist = run_masked_loop(
+                body, state0, k_max, Bsz, fixed_iters=fixed_iters,
+                history_keys=("r_p", "r_d"))
+        else:
+            state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
+                                               fixed_iters=fixed_iters)
+            hist = None
         u = state["v"][:, n:n + m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z=state["z"], v=state["v"],
                                     lam=state["lam"], r_p=state["r_p"],
-                                    r_d=state["r_d"]))
+                                    r_d=state["r_d"],
+                                    **({"hRp": hist["r_p"],
+                                        "hRd": hist["r_d"]}
+                                       if hist else {})))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

@@ -56,6 +56,7 @@ def admm_solve(
     init=None,                 # optional (z0, v0, lam0) warm start
     fixed_iters: int | None = None,
     z_lin: Callable | None = None,  # linear part only: z_lin(dq) = M_q dq
+    history: bool = False,     # record per-iteration residual norms
 ):
     """Run batched single-split ADMM; returns (z, v, lam, k, e_flag, r_p, r_d).
 
@@ -107,7 +108,13 @@ def admm_solve(
             conv = jnp.logical_and(r_p <= tol_p, r_d <= tol_d)
             return dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d), conv
 
-    state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
-                                       fixed_iters=fixed_iters)
+    if history:
+        state, k, e_flag, hist = run_masked_loop(
+            body, state0, k_max, batch, fixed_iters=fixed_iters,
+            history_keys=("r_p", "r_d"))
+    else:
+        state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
+                                           fixed_iters=fixed_iters)
+        hist = None
     return (state["z"], state["v"], state["lam"], k, e_flag,
-            state["r_p"], state["r_d"])
+            state["r_p"], state["r_d"], hist)

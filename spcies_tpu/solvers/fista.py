@@ -46,6 +46,7 @@ def fista_solve(
     dtype,
     lam_init=None,
     fixed_iters: int | None = None,
+    history: bool = False,
 ):
     """Run batched dual FISTA; returns (z, y, lam, k, e_flag, res)."""
     lam = (jnp.zeros((batch, nlam), dtype=dtype) if lam_init is None
@@ -78,6 +79,13 @@ def fista_solve(
         t_out = jnp.where(conv, state["t"], t_new)
         return (dict(z=z, y=y_out, lam=lam_out, t=t_out, res=res), conv)
 
-    state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
-                                       fixed_iters=fixed_iters)
-    return (state["z"], state["y"], state["lam"], k, e_flag, state["res"])
+    if history:
+        state, k, e_flag, hist = run_masked_loop(
+            body, state0, k_max, batch, fixed_iters=fixed_iters,
+            history_keys=("res",))
+    else:
+        state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
+                                           fixed_iters=fixed_iters)
+        hist = None
+    return (state["z"], state["y"], state["lam"], k, e_flag, state["res"],
+            hist)

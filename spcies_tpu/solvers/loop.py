@@ -24,7 +24,8 @@ def _mask_like(mask, leaf):
 
 
 def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
-                    fixed_iters: int | None = None):
+                    fixed_iters: int | None = None,
+                    history_keys: tuple = ()):
     """Run `body` until every lane converges or k_max is hit.
 
     body(state, k) -> (new_state, conv[B] bool). `state` is any pytree whose
@@ -35,8 +36,14 @@ def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
     fixed_iters: if given, run exactly that many iterations with no
     convergence checks or masking (benchmark mode; avoids the per-iteration
     any-active reduction).
+
+    history_keys: names of scalar-per-lane state entries (e.g. residual
+    norms) to record per iteration — the reference's genHist traces
+    (spcies_laxMPC_ADMM_solver.m:308-319). When non-empty the return is
+    (state, k, e_flag, hist) with hist[key] of shape [B, k_max]; entries
+    past a lane's exit hold the frozen final value (consume with `k`).
     """
-    if fixed_iters is not None:
+    if fixed_iters is not None and not history_keys:
         def fbody(_, state):
             new_state, _conv = body(state, _)
             return new_state
@@ -46,22 +53,38 @@ def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
 
     done0 = jnp.zeros((batch,), dtype=bool)
     k0 = jnp.zeros((batch,), dtype=jnp.int32)
+    n_iter = fixed_iters if fixed_iters is not None else k_max
+    hist0 = {key: jnp.zeros((n_iter, batch), dtype=state0[key].dtype)
+             for key in history_keys}
 
     def cond(carry):
-        it, done, _k, _state = carry
-        return jnp.logical_and(it < k_max, jnp.logical_not(jnp.all(done)))
+        it, done, _k, _state, _h = carry
+        return jnp.logical_and(it < n_iter, jnp.logical_not(jnp.all(done)))
 
     def step(carry):
-        it, done, k, state = carry
+        it, done, k, state, hist = carry
         new_state, conv = body(state, it)
         active = jnp.logical_not(done)
-        state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(_mask_like(active, new), new, old),
-            new_state, state)
+        if fixed_iters is not None:
+            state = new_state
+            conv = jnp.zeros_like(conv)
+        else:
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(_mask_like(active, new), new, old),
+                new_state, state)
+        hist = {key: h.at[it].set(state[key])
+                for key, h in hist.items()}
         k = jnp.where(active, it + 1, k)
         done = jnp.logical_or(done, jnp.logical_and(active, conv))
-        return it + 1, done, k, state
+        return it + 1, done, k, state, hist
 
-    _it, done, k, state = jax.lax.while_loop(cond, step, (jnp.int32(0), done0, k0, state0))
-    e_flag = jnp.where(done, jnp.int32(1), jnp.int32(-1))
+    _it, done, k, state, hist = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), done0, k0, state0, hist0))
+    if fixed_iters is not None:
+        e_flag = jnp.ones((batch,), dtype=jnp.int32)
+    else:
+        e_flag = jnp.where(done, jnp.int32(1), jnp.int32(-1))
+    if history_keys:
+        hist = {key: jnp.moveaxis(h, 0, 1) for key, h in hist.items()}
+        return state, k, e_flag, hist
     return state, k, e_flag

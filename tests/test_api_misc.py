@@ -102,3 +102,37 @@ def test_examples_run(script, tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), env=env,
         timeout=600)
     assert out.returncode == 0, (out.stdout, out.stderr)
+
+
+def test_debug_history_traces():
+    """options.debug records per-iteration residual histories (the
+    genHist analogue, spcies_laxMPC_ADMM_solver.m:308-319)."""
+    sys, param, st = sp.systems.tester_fixture()
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-5,
+                             k_max=2000)
+    opt.debug = True
+    s = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       options=opt)
+    res = s(st["x"], st["xr"], st["ur"])
+    k = int(res.k[0])
+    hRp = np.asarray(res.sol["hRp"][0])
+    hRd = np.asarray(res.sol["hRd"][0])
+    assert hRp.shape == (2000,)
+    # the recorded trace must end at the final residuals and be below tol
+    # at the lane's exit iteration
+    assert hRp[k - 1] <= 1e-5 and hRd[k - 1] <= 1e-5
+    assert hRd[0] > 1e-5            # not converged at iteration 1
+    np.testing.assert_allclose(hRp[k - 1], float(res.sol["r_p"][0]))
+
+    # MPCT-EADMM history (three residual traces)
+    p2 = dict(param, T=10 * np.asarray(param["Q"]),
+              S=np.asarray(param["R"]))
+    opt2 = sp.default_options("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0,
+                              tol=1e-5, k_max=2000)
+    opt2.debug = True
+    s2 = sp.make_solver(sys, p2, formulation="MPCT", method="EADMM",
+                        options=opt2)
+    r2 = s2(st["x"], st["xr"], st["ur"])
+    k2 = int(r2.k[0])
+    for key in ("hRpf", "hRz2", "hRz3"):
+        assert np.asarray(r2.sol[key][0])[k2 - 1] <= 1e-5
