@@ -1,0 +1,174 @@
+"""Fused delta-form ADMM iteration as a Pallas TPU kernel.
+
+The XLA-level ADMM loop streams z/v/lam (+ the dense M_q map) through HBM
+every iteration: at the benchmark batch that is ~1 GB/s-class traffic per
+solver state array and the solve becomes HBM-bound. This kernel runs the
+ENTIRE iteration loop for a tile of lanes with all state resident in VMEM:
+
+  per grid step (one batch tile):
+    load z1 (the peeled first equality-QP solve), v0, lam0, M_q, bounds
+    while any lane active and it < k_max:
+        v      = clip(z + rho_i lam, LB, UB)
+        lam   += rho (z - v)
+        r_p    = rowmax |z - v| ; r_d = rowmax |v - v_prev|
+        dq     = rho (z - 2 v + v_prev)          (delta form; dq -> 0)
+        z_next = z + dq @ M_q                     (MXU, optionally bf16)
+        freeze converged lanes (masked-loop semantics of solvers/loop.py)
+    write z, v, lam, k, done
+
+Padding contract: nz is padded to a multiple of 128 (lane tiling) with
+zero rows/cols in M_q and [0, 0] bounds, so padded entries stay exactly 0
+and never contribute to the residual norms. The batch is padded to the
+tile size by the caller.
+
+STATUS: experimental. The kernel is validated bit-exact against the dense
+XLA backend in interpret mode (tests/test_fused_admm.py); on the current
+hardware tunnel the Mosaic compiler rejects several layouts this kernel
+needs inside a while-loop carry (narrow (B, 1) int/bool vectors, and
+lane-replicated reduction outputs joined against standard-layout carry
+inits — "Invalid relayout ... replicated in destination" errors), worked
+around here by f32 arithmetic blending plus a VMEM scratch store/load that
+launders the reduction layout. The dense XLA backend remains the default
+production path (it already exceeds the throughput target by >25x).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
+                       z_ref, v_ref, lam_ref, k_ref, done_ref,
+                       rp_ref, rd_ref, red_scratch,
+                       *, rho, rho_i, tol_p, tol_d, k_max, bf16):
+    z = z1_ref[:]
+    v = v0_ref[:]
+    lam = lam0_ref[:]
+    lb = lb_ref[:]
+    ub = ub_ref[:]
+    mq = mq_ref[:]
+    tile_b = z.shape[0]
+    z_next = z
+
+    # Per-lane bookkeeping is (tile_b, 1) f32 with arithmetic blending
+    # (x_out = a*new + (1-a)*old). The row-max reductions come out of
+    # Mosaic in a lane-REPLICATED layout; routing them through a VMEM
+    # scratch store+load materializes the standard layout, otherwise the
+    # while-loop carry joins a replicated body output against a standard
+    # init and Mosaic rejects the relayout.
+    done0 = jnp.zeros((tile_b, 1), dtype=jnp.float32)
+    k0 = jnp.zeros((tile_b, 1), dtype=jnp.float32)
+    rbig = jnp.full((tile_b, 1), 3.4e38, dtype=jnp.float32)
+
+    def cond(carry):
+        it, done, _k, _z, _zn, _v, _lam, _rp, _rd = carry
+        return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+    def body(carry):
+        it, done, k, z, z_next, v, lam, rp, rd = carry
+        zc = z_next
+        v_prev = v
+        y = zc + rho_i * lam
+        v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+        dp = zc - v_new
+        lam_new = lam + rho * dp
+        red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1, keepdims=True)
+        red_scratch[:, 1:2] = jnp.max(jnp.abs(v_new - v_prev), axis=1,
+                                      keepdims=True)
+        r_p = red_scratch[:, 0:1]
+        r_d = red_scratch[:, 1:2]
+        conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+        dq = rho * (zc - 2.0 * v_new + v_prev)
+        if bf16:
+            zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                  mq.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            zn = zc + jax.lax.dot(dq, mq,
+                                  preferred_element_type=jnp.float32)
+        a = 1.0 - done                      # active mask, f32 {0, 1}
+        na = done
+        z_out = a * zc + na * z
+        zn_out = a * zn + na * z_next
+        v_out = a * v_new + na * v
+        lam_out = a * lam_new + na * lam
+        k_out = k + a
+        rp_out = a * r_p + na * rp
+        rd_out = a * r_d + na * rd
+        done_out = jnp.maximum(done, a * conv)
+        return (it + 1, done_out, k_out, z_out, zn_out, v_out, lam_out,
+                rp_out, rd_out)
+
+    _it, done, k, z, _zn, v, lam, rp, rd = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), done0, k0, z, z_next, v, lam,
+                     rbig, rbig))
+
+    z_ref[:] = z
+    v_ref[:] = v
+    lam_ref[:] = lam
+    k_ref[:] = k.astype(jnp.int32)
+    done_ref[:] = (done > 0.5).astype(jnp.int32)
+    rp_ref[:] = rp
+    rd_ref[:] = rd
+
+
+def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
+                     rho: float, tol_p: float, tol_d: float, k_max: int,
+                     tile_b: int = 256, bf16: bool = False,
+                     interpret: bool = False):
+    """Run the fused ADMM loop. All arrays must already be lane-padded to a
+    multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
+    batch-padded to a multiple of tile_b.
+
+    Returns (z, v, lam, k [B], e_flag [B]).
+    """
+    B, nzp = z1.shape
+    assert nzp % 128 == 0 and B % tile_b == 0
+    grid = (B // tile_b,)
+    kernel = functools.partial(
+        _fused_admm_kernel, rho=float(rho), rho_i=float(1.0 / rho),
+        tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16)
+
+    tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((nzp, nzp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, nzp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, nzp), jnp.float32),
+        jax.ShapeDtypeStruct((B, nzp), jnp.float32),
+        jax.ShapeDtypeStruct((B, nzp), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+    )
+    out_specs = (tile_spec, tile_spec, tile_spec, lane_spec, lane_spec,
+                 lane_spec, lane_spec)
+
+    z, v, lam, k, done, rp, rd = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[tile_spec, tile_spec, tile_spec, full_spec,
+                  row_spec, row_spec],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.float32)],
+        interpret=interpret,
+    )(z1, v0, lam0, M_q_pad, LB_pad, UB_pad)
+    k = k[:, 0]
+    e_flag = jnp.where(done[:, 0] == 1, jnp.int32(1), jnp.int32(-1))
+    return z, v, lam, k, e_flag, rp[:, 0], rd[:, 0]

@@ -1,0 +1,79 @@
+"""Fused-ADMM Pallas kernel (experimental backend) — interpret-mode
+differential tests: the kernel must reproduce the dense XLA backend's
+iterates bit-for-bat on CPU."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    return sp.systems.tester_fixture()
+
+
+def _solvers(sys, param, **fused_kw):
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                              k_max=1000, pallas_interpret=True, tile_b=8,
+                              **fused_kw)
+    opts.precision = "float"
+    s_f = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                         backend="fused", options=opts)
+    opts_d = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                                k_max=1000)
+    opts_d.precision = "float"
+    s_d = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                         options=opts_d)
+    return s_f, s_d
+
+
+def test_fused_matches_dense_exactly(fixture):
+    sys, param, st = fixture
+    s_f, s_d = _solvers(sys, param)
+    rng = np.random.default_rng(0)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(rf.sol[key]),
+                                      np.asarray(rd.sol[key]))
+
+
+def test_fused_batch_padding(fixture):
+    """Batch sizes that are not tile multiples are padded internally and
+    results sliced back."""
+    sys, param, st = fixture
+    s_f, s_d = _solvers(sys, param)
+    B = 5   # not a multiple of tile_b=8
+    rng = np.random.default_rng(1)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    rf = s_f(x0, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1)))
+    rd = s_d(x0, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1)))
+    assert rf.u.shape == (B, 2)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+
+
+def test_fused_warm_start(fixture):
+    sys, param, st = fixture
+    s_f, _ = _solvers(sys, param)
+    cold = s_f(st["x"], st["xr"], st["ur"])
+    init = (cold.sol["z"], cold.sol["v"], cold.sol["lam"])
+    warm = s_f(st["x"], st["xr"], st["ur"], init=init)
+    assert int(warm.k[0]) < int(cold.k[0])
+
+
+def test_fused_rejects_fp64_and_fixed_iters(fixture):
+    sys, param, st = fixture
+    with pytest.raises(ValueError, match="fp32"):
+        sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       backend="fused", rho=15.0)
+    s_f, _ = _solvers(sys, param)
+    with pytest.raises(ValueError, match="fixed_iters"):
+        s_f(st["x"], st["xr"], st["ur"], fixed_iters=10)
