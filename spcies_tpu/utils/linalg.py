@@ -116,3 +116,34 @@ def ldl_factor(W: np.ndarray):
     d = np.diag(C) ** 2
     L = C / np.diag(C)[None, :]
     return L, d
+
+
+def full2csc(M: np.ndarray, tol: float = 1e-14):
+    """Dense -> CSC triplet (val, row, col_ptr), the host-side analogue of
+    +sp_utils/full2CSC.m:25-44 (computed as CSR of the transpose)."""
+    val, row, col_ptr = full2csr(np.asarray(M).T, tol)
+    return val, row, col_ptr
+
+
+def csr_matvec(val, col, row_ptr, x):
+    """CSR sparse mat-vec (+sp_utils/smv.m:23-35). Host-side reference; the
+    online TPU kernels use structured dense forms instead of generic
+    sparsity (SURVEY.md §7)."""
+    nr = len(row_ptr) - 1
+    y = np.zeros(nr)
+    for i in range(nr):
+        for j in range(row_ptr[i], row_ptr[i + 1]):
+            y[i] += val[j] * x[col[j]]
+    return y
+
+
+def ldl_solve(L, d, b):
+    """Solve (L D L') x = b given unit-lower L and diagonal d — the dense
+    analogue of the reference's QDLDL-style sparse LDL solve
+    (+sp_utils/LDLsolve.m:22-48: forward sub -> D^-1 scale -> backward
+    sub)."""
+    import scipy.linalg as sla
+    y = sla.solve_triangular(L, np.asarray(b, float), lower=True,
+                             unit_diagonal=True)
+    y = y / d
+    return sla.solve_triangular(L.T, y, lower=False, unit_diagonal=True)

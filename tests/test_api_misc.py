@@ -136,3 +136,30 @@ def test_debug_history_traces():
     k2 = int(r2.k[0])
     for key in ("hRpf", "hRz2", "hRz3"):
         assert np.asarray(r2.sol[key][0])[k2 - 1] <= 1e-5
+
+
+def test_sp_utils_parity():
+    """Numerics utilities mirroring +sp_utils: CSR/CSC round trips, sparse
+    matvec, LDL factor+solve."""
+    from spcies_tpu.utils import linalg
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((6, 8))
+    M[np.abs(M) < 0.7] = 0.0
+    val, col, ptr = linalg.full2csr(M)
+    x = rng.standard_normal(8)
+    np.testing.assert_allclose(linalg.csr_matvec(val, col, ptr, x), M @ x,
+                               atol=1e-12)
+    val_c, row_c, cptr = linalg.full2csc(M)
+    # CSC of M == CSR of M.T
+    val_t, col_t, ptr_t = linalg.full2csr(M.T)
+    np.testing.assert_array_equal(val_c, val_t)
+    np.testing.assert_array_equal(row_c, col_t)
+    np.testing.assert_array_equal(cptr, ptr_t)
+
+    A = rng.standard_normal((7, 7))
+    W = A @ A.T + 7 * np.eye(7)
+    L, d = linalg.ldl_factor(W)
+    np.testing.assert_allclose(L @ np.diag(d) @ L.T, W, atol=1e-10)
+    b = rng.standard_normal(7)
+    np.testing.assert_allclose(linalg.ldl_solve(L, d, b),
+                               np.linalg.solve(W, b), atol=1e-10)
