@@ -48,3 +48,36 @@ class CompiledCSolver:
                           ctypes.byref(ms))
         return u, int(k.value), int(e_flag), dict(
             z=z, v=v, lam=lam, run_time_ms=float(ms.value))
+
+
+class CompiledCFistaSolver:
+    """ctypes bridge for generated FISTA C solvers (z, lam outputs; no v)."""
+
+    def __init__(self, name: str, n: int, m: int, N: int, nz: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.N, self.nz = n, m, N, nz
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_fista_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr, dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_int), dptr, dptr,
+                             ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        u = np.zeros(self.m)
+        z = np.zeros(self.nz)
+        lam = np.zeros(self.N * self.n)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, lam=lam, run_time_ms=float(ms.value))

@@ -75,3 +75,32 @@ def test_clear_generated(fixture, tmp_path):
     assert os.path.isdir(d)
     clear_generated(d)
     assert not os.path.isdir(d)
+
+
+@pytest.mark.parametrize("formulation", ["laxMPC", "equMPC"])
+def test_c_fista_solver_matches_jax(fixture, formulation):
+    from spcies_tpu.codegen import (generate_c_fista_solver,
+                                    CompiledCFistaSolver)
+    sys, param, st, outdir = fixture
+    p = dict(param)
+    if formulation == "equMPC":
+        p.pop("T")
+    opts = dict(tol=1e-7, k_max=5000)
+    generate_c_fista_solver(sys, p, formulation=formulation,
+                            directory=outdir, **opts)
+    s_jax = sp.make_solver(sys, p, formulation=formulation, method="FISTA",
+                           **opts)
+    c = CompiledCFistaSolver(f"{formulation.lower()}_fista", n=s_jax.n,
+                             m=s_jax.m, N=s_jax.N, nz=s_jax.nz,
+                             directory=outdir)
+    rng = np.random.default_rng(6)
+    for trial in range(3):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        for key in ("z", "lam"):
+            gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
+            assert gap < 1e-10, (key, gap)
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
