@@ -21,15 +21,19 @@ zero rows/cols in M_q and [0, 0] bounds, so padded entries stay exactly 0
 and never contribute to the residual norms. The batch is padded to the
 tile size by the caller.
 
-STATUS: experimental. The kernel is validated bit-exact against the dense
-XLA backend in interpret mode (tests/test_fused_admm.py); on the current
-hardware tunnel the Mosaic compiler rejects several layouts this kernel
-needs inside a while-loop carry (narrow (B, 1) int/bool vectors, and
-lane-replicated reduction outputs joined against standard-layout carry
-inits — "Invalid relayout ... replicated in destination" errors), worked
-around here by f32 arithmetic blending plus a VMEM scratch store/load that
-launders the reduction layout. The dense XLA backend remains the default
-production path (it already exceeds the throughput target by >25x).
+STATUS: experimental, measured SLOWER than the dense XLA backend. Compiles
+and runs correctly on TPU v5e (k/e_flag/iterates match the dense backend;
+bit-exact in interpret mode, tests/test_fused_admm.py) after three Mosaic
+while-carry layout workarounds: (1) f32 arithmetic blending instead of
+narrow (B, 1) int/bool selects, (2) a VMEM scratch store/load to launder
+the lane-replicated row-max reduction layout, (3) carry inits derived from
+loaded data (constants come out replicated and the carry join rejects the
+relayout). Measured on the N=30 benchmark: ~199k solves/s (tile_b=512) vs
+~413k for the dense XLA loop — the per-tile [tile_b, 256] matmuls
+underutilize the MXU relative to XLA's full-batch [16384, 240] matmul, and
+the loop was not HBM-bound to begin with. Kept as the reference
+implementation for VMEM-resident solver iteration; the dense backend
+remains the default.
 """
 
 from __future__ import annotations
@@ -66,9 +70,13 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
     # scratch store+load materializes the standard layout, otherwise the
     # while-loop carry joins a replicated body output against a standard
     # init and Mosaic rejects the relayout.
-    done0 = jnp.zeros((tile_b, 1), dtype=jnp.float32)
-    k0 = jnp.zeros((tile_b, 1), dtype=jnp.float32)
-    rbig = jnp.full((tile_b, 1), 3.4e38, dtype=jnp.float32)
+    # carry inits derived from loaded data (slices of z) so they are in
+    # the standard layout — jnp.zeros/full constants come out replicated
+    # and the while-carry join would need an invalid relayout
+    lane0 = z[:, 0:1] * 0.0
+    done0 = lane0
+    k0 = lane0
+    rbig = lane0 + 3.4e38
 
     def cond(carry):
         it, done, _k, _z, _zn, _v, _lam, _rp, _rd = carry
