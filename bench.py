@@ -44,12 +44,15 @@ def main():
     n_conv = int(np.sum(np.asarray(res.e_flag) == 1))
     k_mean = float(np.mean(np.asarray(res.k)))
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # median of 7 timed repetitions — the shared-tunnel TPU shows large
+    # run-to-run variance, and the median is robust to interference spikes
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         res = solver(x0, xr, ur)
-    res.u.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        res.u.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     solves_per_s = BATCH / dt
     out = {
