@@ -104,3 +104,44 @@ def test_c_fista_solver_matches_jax(fixture, formulation):
             gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
             assert gap < 1e-10, (key, gap)
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def test_c_ellipmpc_solver_matches_jax(fixture):
+    """ellipMPC-ADMM C backend vs the JAX solver: P-weighted terminal
+    q_hat, exact ellipsoid projection and P_half dual scaling must all
+    agree to the 1e-10 differential contract — with an ACTIVE terminal
+    constraint (small r) so the projection branch is exercised."""
+    sys, param, st, outdir = fixture
+    p = dict(param)
+    n = len(np.asarray(st["xr"]))
+    # non-identity SPD P so the P-norm projection is nontrivial
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((n, n))
+    p["P"] = np.eye(n) + 0.1 * (M @ M.T)
+    p["c"] = np.asarray(st["xr"])
+    p["r"] = 0.05
+    c_path = generate_c_solver(sys, p, formulation="ellipMPC",
+                               directory=outdir, **OPTS)
+    src = open(c_path).read()
+    assert "PINVHALF" in src and "RADIUS" in src
+    s_jax = sp.make_solver(sys, p, formulation="ellipMPC", method="ADMM",
+                           **OPTS)
+    c = CompiledCSolver("ellipmpc_admm", n=s_jax.n, m=s_jax.m,
+                        nz=s_jax.nz, directory=outdir)
+    projected = 0
+    for trial in range(3):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        for key in ("z", "v", "lam"):
+            gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
+            assert gap < 1e-10, (key, gap)
+        # terminal state satisfies the ellipsoid constraint
+        d = sol_c["v"][-s_jax.n:] - p["c"]
+        val = d @ (p["P"] @ d)
+        assert val <= p["r"] ** 2 + 1e-8
+        if val > 0.5 * p["r"] ** 2:
+            projected += 1
+    assert projected >= 1  # the constraint was genuinely active
