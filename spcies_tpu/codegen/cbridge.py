@@ -81,3 +81,44 @@ class CompiledCFistaSolver:
                           ctypes.byref(ms))
         return u, int(k.value), int(e_flag), dict(
             z=z, lam=lam, run_time_ms=float(ms.value))
+
+
+class CompiledCMpctEadmmSolver:
+    """ctypes bridge for generated MPCT-EADMM C solvers
+    (z1, z2, z3, lam outputs — the 3-block iterate set)."""
+
+    def __init__(self, name: str, n: int, m: int, N: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.N = n, m, N
+        self.nz1 = (N + 1) * (n + m)
+        self.nrow = self.nz1 + n + (n + m)
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_mpct_eadmm_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr, dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+                             dptr, ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        if x0.size != self.n or xr.size != self.n or ur.size != self.m:
+            raise ValueError(
+                f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
+        u = np.zeros(self.m)
+        z1 = np.zeros(self.nz1)
+        z2 = np.zeros(self.n + self.m)
+        z3 = np.zeros(self.nz1)
+        lam = np.zeros(self.nrow)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z1, z2, z3, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z1=z1, z2=z2, z3=z3, lam=lam, run_time_ms=float(ms.value))

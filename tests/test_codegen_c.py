@@ -145,3 +145,31 @@ def test_c_ellipmpc_solver_matches_jax(fixture):
         if val > 0.5 * p["r"] ** 2:
             projected += 1
     assert projected >= 1  # the constraint was genuinely active
+
+
+def test_c_mpct_eadmm_solver_matches_jax(fixture):
+    """MPCT-EADMM C backend (3-block iteration, structured rho, dense
+    W2/M3) vs the JAX engine to the 1e-10 differential contract."""
+    from spcies_tpu.codegen import (generate_c_mpct_eadmm_solver,
+                                    CompiledCMpctEadmmSolver)
+    sys, param, st, outdir = fixture
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])   # test_MPCT_EADMM.m:14-15
+    p["S"] = np.asarray(p["R"]).copy()
+    opts = dict(rho_base=2.0, rho_mult=20.0, tol=1e-7, k_max=5000)
+    generate_c_mpct_eadmm_solver(sys, p, directory=outdir, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="MPCT", method="EADMM",
+                           **opts)
+    c = CompiledCMpctEadmmSolver("mpct_eadmm", n=s_jax.n, m=s_jax.m,
+                                 N=s_jax.N, directory=outdir)
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        for key in ("z1", "z2", "z3", "lam"):
+            gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
+            assert gap < 1e-10, (key, gap)
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
