@@ -122,3 +122,41 @@ class CompiledCMpctEadmmSolver:
                           ctypes.byref(ms))
         return u, int(k.value), int(e_flag), dict(
             z1=z1, z2=z2, z3=z3, lam=lam, run_time_ms=float(ms.value))
+
+
+class CompiledCHmpcSolver:
+    """ctypes bridge for generated HMPC single-split ADMM C solvers
+    (z [dim], s [n_s], lam [n_s] outputs)."""
+
+    def __init__(self, name: str, n: int, m: int, dim: int, n_s: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.dim, self.n_s = n, m, dim, n_s
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_hmpc_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr, dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        if x0.size != self.n or xr.size != self.n or ur.size != self.m:
+            raise ValueError(
+                f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
+        u = np.zeros(self.m)
+        z = np.zeros(self.dim)
+        s = np.zeros(self.n_s)
+        lam = np.zeros(self.n_s)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, s, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, s=s, lam=lam, run_time_ms=float(ms.value))

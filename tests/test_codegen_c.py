@@ -173,3 +173,39 @@ def test_c_mpct_eadmm_solver_matches_jax(fixture):
             gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
             assert gap < 1e-10, (key, gap)
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_c_hmpc_solver_matches_jax(fixture, use_soc):
+    """HMPC single-split ADMM C backend (harmonic KKT, SOC3/diamond cone
+    projections) vs the JAX engine to the differential contract."""
+    from spcies_tpu.codegen import (generate_c_hmpc_solver,
+                                    CompiledCHmpcSolver)
+    sys, param, st, outdir = fixture
+    p = dict(param)
+    p.pop("T", None)
+    p["w"] = 3 * 1.627 * 0.2                     # test_HMPC_ADMM.m:14-21
+    p["Te"] = 10 * p["N"] * np.asarray(p["Q"])
+    p["Th"] = p["Te"]
+    p["Se"] = np.asarray(p["R"]).copy()
+    p["Sh"] = 0.5 * p["Se"]
+    opts = dict(rho=2.0, tol_p=1e-7, tol_d=1e-7, k_max=5000,
+                use_soc=use_soc)
+    name = f"hmpc_admm_{'soc' if use_soc else 'd'}"
+    generate_c_hmpc_solver(sys, p, directory=outdir, save_name=name, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="HMPC", method="ADMM",
+                           **opts)
+    ing = s_jax.ingredients
+    c = CompiledCHmpcSolver(name, n=s_jax.n, m=s_jax.m, dim=ing["dim"],
+                            n_s=ing["n_s"], directory=outdir)
+    rng = np.random.default_rng(9)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        for key in ("z", "s", "lam"):
+            gap = np.max(np.abs(sol_c[key] - np.asarray(r.sol[key][0])))
+            assert gap < 1e-10, (key, gap)
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
