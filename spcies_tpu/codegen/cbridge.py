@@ -160,3 +160,125 @@ class CompiledCHmpcSolver:
                           ctypes.byref(ms))
         return u, int(k.value), int(e_flag), dict(
             z=z, s=s, lam=lam, run_time_ms=float(ms.value))
+
+class CompiledCSemibandSolver:
+    """ctypes bridge for generated MPCT ADMM-semiband C solvers
+    (z [nz], v [nv], lam [nv] outputs — nv > nz when the constrained-output
+    flag adds per-stage output rows)."""
+
+    def __init__(self, name: str, n: int, m: int, nz: int, nv: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.nz, self.nv = n, m, nz, nv
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_mpct_semiband_solver "
+                "first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr, dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+                             ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        if x0.size != self.n or xr.size != self.n or ur.size != self.m:
+            raise ValueError(
+                f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
+        u = np.zeros(self.m)
+        z = np.zeros(self.nz)
+        v = np.zeros(self.nv)
+        lam = np.zeros(self.nv)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, v, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, v=v, lam=lam, run_time_ms=float(ms.value))
+
+
+class CompiledCSplitSolver:
+    """ctypes bridge for the two-dual split solvers: ellipMPC ADMM-soc
+    (with a runtime radius input) and HMPC ADMM/SADMM-split.
+    Outputs: z [dim], s [n_s], lam [dim], mu [n_s]."""
+
+    def __init__(self, name: str, n: int, m: int, dim: int, n_s: int,
+                 has_radius: bool = False,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.dim, self.n_s = n, m, dim, n_s
+        self.has_radius = has_radius
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"{path} not found; generate it first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        args = [dptr, dptr, dptr]
+        if has_radius:
+            args.append(ctypes.c_double)
+        args += [dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+                 dptr, ctypes.POINTER(ctypes.c_double)]
+        self._fn.argtypes = args
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur, r_ellip=None):
+        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
+        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
+        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        if x0.size != self.n or xr.size != self.n or ur.size != self.m:
+            raise ValueError(
+                f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
+        u = np.zeros(self.m)
+        z = np.zeros(self.dim)
+        s = np.zeros(self.n_s)
+        lam = np.zeros(self.dim)
+        mu = np.zeros(self.n_s)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        inputs = [x0, xr, ur]
+        if self.has_radius:
+            inputs.append(ctypes.c_double(float(r_ellip)))
+        e_flag = self._fn(*inputs, u, ctypes.byref(k), z, s, lam, mu,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, s=s, lam=lam, mu=mu, run_time_ms=float(ms.value))
+
+
+class CompiledCEllipHmpcSolver:
+    """ctypes bridge for generated ellipHMPC ADMM C solvers: 7 inputs
+    (x0, xre, xrs, xrc, ure, urs, urc), outputs z [dim], s [n_s],
+    lam [n_s] — the reference MEX's decomposed-reference signature
+    (struct_ellipHMPC_ADMM_C_Matlab.c:27)."""
+
+    def __init__(self, name: str, n: int, m: int, dim: int, n_s: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.dim, self.n_s = n, m, dim, n_s
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_elliphmpc_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr] * 7 + [
+            dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
+            ctypes.POINTER(ctypes.c_double)]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xre, xrs, xrc, ure, urs, urc):
+        refs = [np.ascontiguousarray(a, dtype=np.float64).ravel()
+                for a in (x0, xre, xrs, xrc, ure, urs, urc)]
+        u = np.zeros(self.m)
+        z = np.zeros(self.dim)
+        s = np.zeros(self.n_s)
+        lam = np.zeros(self.n_s)
+        k = ctypes.c_int(0)
+        ms = ctypes.c_double(0.0)
+        e_flag = self._fn(*refs, u, ctypes.byref(k), z, s, lam,
+                          ctypes.byref(ms))
+        return u, int(k.value), int(e_flag), dict(
+            z=z, s=s, lam=lam, run_time_ms=float(ms.value))

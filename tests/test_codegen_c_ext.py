@@ -1,0 +1,204 @@
+"""Differential tests for the remaining generated plain-C solver triples
+(MPCT/ADMM-cs, MPCT/ADMM-semiband, ellipMPC/ADMM-soc, HMPC/{ADMM,SADMM}-
+split, ellipHMPC/ADMM): generate C from the tester fixture, compile with
+cc, run through the ctypes bridge, and compare iterates against the JAX
+solver (both fp64) — the reference's sparse-vs-oracle 1e-10 contract
+(tests/spcies_tester.m:260) applied to the C backend.  With emit_c.py's
+tests this closes the loop on all 11 reference generated-solver triples."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+from spcies_tpu.codegen import (generate_embedded_solver,
+                                CompiledCSolver,
+                                CompiledCSemibandSolver,
+                                CompiledCSplitSolver,
+                                CompiledCEllipHmpcSolver)
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("generated_solvers_ext"))
+
+
+@pytest.fixture(scope="module")
+def base(tmp_path_factory):
+    sys, param, status = sp.systems.tester_fixture()
+    return sys, param, status
+
+
+def _compare(sol_c, res, keys, tol=1e-10):
+    for key in keys:
+        gap = np.max(np.abs(sol_c[key] - np.asarray(res.sol[key][0])))
+        assert gap < tol, (key, gap)
+
+
+def test_c_mpct_cs_matches_jax(base, outdir):
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    opts = dict(rho=1e-2, tol=1e-7, k_max=5000)
+    generate_embedded_solver(sys, p, formulation="MPCT", method="ADMM",
+                             submethod="cs", directory=outdir, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="cs", **opts)
+    c = CompiledCSolver("mpct_admm_cs", n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                        directory=outdir)
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+@pytest.mark.parametrize("variant", ["hard", "soft", "con_out"])
+def test_c_mpct_semiband_matches_jax(base, outdir, variant):
+    sys, param, st = base
+    sys = dict(sys)
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    opts = dict(rho=0.5, tol_p=1e-7, tol_d=1e-7, k_max=5000)
+    if variant == "soft":
+        opts.update(soft_constraints=True, beta=1.0)
+    if variant == "con_out":
+        n, m = len(st["x"]), len(st["ur"])
+        sys["C"] = np.eye(3, n)
+        sys["D"] = np.zeros((3, m))
+        sys["LBy"] = -0.25 * np.ones(3)
+        sys["UBy"] = 0.25 * np.ones(3)
+        opts.update(constrained_output=True)
+    name = f"mpct_semiband_{variant}"
+    generate_embedded_solver(sys, p, formulation="MPCT", method="ADMM",
+                             submethod="semiband", directory=outdir,
+                             save_name=name, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="semiband", **opts)
+    ing = s_jax.ingredients
+    c = CompiledCSemibandSolver(name, n=s_jax.n, m=s_jax.m, nz=ing["nz"],
+                                nv=ing["nv"], directory=outdir)
+    rng = np.random.default_rng(22)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def test_c_ellipmpc_soc_matches_jax(base, outdir):
+    """Runtime-radius SOC variant: the radius is a per-call input, so one
+    generated binary serves multiple radii (the reference MEX's 4th
+    argument, code_ellipMPC_ADMM_soc_C.c:20)."""
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(p["T"], axis=1))
+    n = len(st["xr"])
+    rng = np.random.default_rng(23)
+    M = rng.standard_normal((n, n))
+    p["P"] = np.eye(n) + 0.1 * (M @ M.T)
+    p["c"] = np.asarray(st["xr"])
+    opts = dict(rho=15.0, sigma=10.0, tol_p=1e-7, tol_d=1e-7, k_max=5000)
+    generate_embedded_solver(sys, p, formulation="ellipMPC", method="ADMM",
+                             submethod="soc", directory=outdir, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="ellipMPC", method="ADMM",
+                           submethod="soc", **opts)
+    ing = s_jax.ingredients
+    c = CompiledCSplitSolver("ellipmpc_admm_soc", n=s_jax.n, m=s_jax.m,
+                             dim=ing["dim"], n_s=ing["n_s"],
+                             has_radius=True, directory=outdir)
+    for r_ellip in (0.05, 0.5):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"], r_ellip)
+        r = s_jax(x0, st["xr"], st["ur"], np.array([r_ellip]))
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "s", "lam", "mu"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def _hmpc_param(param):
+    p = dict(param)
+    p.pop("T", None)
+    p["w"] = 3 * 1.627 * 0.2
+    p["Te"] = 10 * p["N"] * np.asarray(p["Q"])
+    p["Th"] = p["Te"]
+    p["Se"] = np.asarray(p["R"]).copy()
+    p["Sh"] = 0.5 * p["Se"]
+    return p
+
+
+@pytest.mark.parametrize("method,use_soc", [("ADMM", False), ("ADMM", True),
+                                            ("SADMM", False)])
+def test_c_hmpc_split_matches_jax(base, outdir, method, use_soc):
+    sys, param, st = base
+    p = _hmpc_param(param)
+    opts = dict(rho=2.0, sigma=20.0, tol_p=1e-7, tol_d=1e-7, k_max=5000,
+                use_soc=use_soc)
+    name = f"hmpc_{method.lower()}_split_{'soc' if use_soc else 'd'}"
+    generate_embedded_solver(sys, p, formulation="HMPC", method=method,
+                             submethod="split", directory=outdir,
+                             save_name=name, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="HMPC", method=method,
+                           submethod="split", **opts)
+    ing = s_jax.ingredients
+    c = CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m, dim=ing["dim"],
+                             n_s=ing["n_s"], directory=outdir)
+    rng = np.random.default_rng(24)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "s", "lam", "mu"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_c_elliphmpc_matches_jax(base, outdir, use_soc):
+    sys, param, st = base
+    sys = dict(sys)
+    n, m = len(st["x"]), len(st["ur"])
+    sys["E"] = np.eye(3, n)
+    sys["F"] = np.zeros((3, m))
+    sys["LBy"] = -0.3 * np.ones(3)
+    sys["UBy"] = 0.3 * np.ones(3)
+    p = _hmpc_param(param)
+    opts = dict(rho=2.0, sigma=0.01, tol_p=1e-7, tol_d=1e-7, k_max=5000,
+                use_soc=use_soc)
+    name = f"elliphmpc_{'soc' if use_soc else 'd'}"
+    generate_embedded_solver(sys, p, formulation="ellipHMPC",
+                             directory=outdir, save_name=name, **opts)
+    s_jax = sp.make_solver(sys, p, formulation="ellipHMPC", method="ADMM",
+                           **opts)
+    ing = s_jax.ingredients
+    c = CompiledCEllipHmpcSolver(name, n=s_jax.n, m=s_jax.m,
+                                 dim=ing["dim"], n_s=ing["n_s"],
+                                 directory=outdir)
+    xr, ur = st["xr"], st["ur"]
+    zn, zm = np.zeros_like(xr), np.zeros_like(ur)
+    rng = np.random.default_rng(25)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        args = (x0, xr, zn, zn, ur, zm, zm)
+        u_c, k_c, e_c, sol_c = c(*args)
+        r = s_jax(*args)
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "s", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def test_dispatcher_rejects_unknown(base):
+    sys, param, _ = base
+    with pytest.raises(ValueError):
+        generate_embedded_solver(sys, param, formulation="noMPC")
