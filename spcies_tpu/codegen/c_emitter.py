@@ -51,3 +51,31 @@ def c_array(name: str, arr: np.ndarray, *, static: bool = True,
 
 def c_int_define_block(defs: dict) -> str:
     return "".join(c_define(k, v) for k, v in defs.items())
+
+
+def gen_var_declaration(name: str, value, *, as_define: bool = False,
+                        static: bool = True, const: bool = True,
+                        directory: str = ".",
+                        save_name: str | None = None) -> str:
+    """Standalone variable-declaration codegen — the analogue of the
+    reference's spcies_gen_var_declaration.m (:38-96): emit the C
+    declaration of one named scalar/vector/matrix/3D value to a .txt file
+    and return the path.
+
+    as_define=True emits a `#define` (scalars only), otherwise an
+    initialized (static const) double array via c_array.
+    """
+    import os
+
+    value = np.asarray(value, dtype=float)
+    if as_define:
+        if value.ndim != 0:
+            raise ValueError("#define emission requires a scalar value")
+        text = c_define(name, float(value))
+    else:
+        text = c_array(name, value, static=static, const=const)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{save_name or name}_declaration.txt")
+    with open(path, "w") as f:
+        f.write(text)
+    return path

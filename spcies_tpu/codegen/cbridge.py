@@ -28,7 +28,7 @@ class CompiledCSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-                             ctypes.POINTER(ctypes.c_double)]
+                             dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
@@ -43,11 +43,13 @@ class CompiledCSolver:
         v = np.zeros(self.nz)
         lam = np.zeros(self.nz)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, v, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, v=v, lam=lam, run_time_ms=float(ms.value))
+            z=z, v=v, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 
 class CompiledCFistaSolver:
@@ -65,7 +67,7 @@ class CompiledCFistaSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr,
-                             ctypes.POINTER(ctypes.c_double)]
+                             dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
@@ -76,11 +78,13 @@ class CompiledCFistaSolver:
         z = np.zeros(self.nz)
         lam = np.zeros(self.N * self.n)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, lam=lam, run_time_ms=float(ms.value))
+            z=z, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 
 class CompiledCMpctEadmmSolver:
@@ -101,7 +105,7 @@ class CompiledCMpctEadmmSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-                             dptr, ctypes.POINTER(ctypes.c_double)]
+                             dptr, dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
@@ -117,11 +121,13 @@ class CompiledCMpctEadmmSolver:
         z3 = np.zeros(self.nz1)
         lam = np.zeros(self.nrow)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z1, z2, z3, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z1=z1, z2=z2, z3=z3, lam=lam, run_time_ms=float(ms.value))
+            z1=z1, z2=z2, z3=z3, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 
 class CompiledCHmpcSolver:
@@ -140,7 +146,7 @@ class CompiledCHmpcSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-                             ctypes.POINTER(ctypes.c_double)]
+                             dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
@@ -155,11 +161,13 @@ class CompiledCHmpcSolver:
         s = np.zeros(self.n_s)
         lam = np.zeros(self.n_s)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, s, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, s=s, lam=lam, run_time_ms=float(ms.value))
+            z=z, s=s, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 class CompiledCSemibandSolver:
     """ctypes bridge for generated MPCT ADMM-semiband C solvers
@@ -179,7 +187,7 @@ class CompiledCSemibandSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-                             ctypes.POINTER(ctypes.c_double)]
+                             dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
@@ -194,11 +202,13 @@ class CompiledCSemibandSolver:
         v = np.zeros(self.nv)
         lam = np.zeros(self.nv)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, v, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, v=v, lam=lam, run_time_ms=float(ms.value))
+            z=z, v=v, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 
 class CompiledCSplitSolver:
@@ -221,7 +231,7 @@ class CompiledCSplitSolver:
         if has_radius:
             args.append(ctypes.c_double)
         args += [dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-                 dptr, ctypes.POINTER(ctypes.c_double)]
+                 dptr, dptr]
         self._fn.argtypes = args
         self._fn.restype = ctypes.c_int
 
@@ -238,14 +248,16 @@ class CompiledCSplitSolver:
         lam = np.zeros(self.dim)
         mu = np.zeros(self.n_s)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         inputs = [x0, xr, ur]
         if self.has_radius:
             inputs.append(ctypes.c_double(float(r_ellip)))
         e_flag = self._fn(*inputs, u, ctypes.byref(k), z, s, lam, mu,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, s=s, lam=lam, mu=mu, run_time_ms=float(ms.value))
+            z=z, s=s, lam=lam, mu=mu, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))
 
 
 class CompiledCEllipHmpcSolver:
@@ -266,7 +278,7 @@ class CompiledCEllipHmpcSolver:
         dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
         self._fn.argtypes = [dptr] * 7 + [
             dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
-            ctypes.POINTER(ctypes.c_double)]
+            dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xre, xrs, xrc, ure, urs, urc):
@@ -277,8 +289,10 @@ class CompiledCEllipHmpcSolver:
         s = np.zeros(self.n_s)
         lam = np.zeros(self.n_s)
         k = ctypes.c_int(0)
-        ms = ctypes.c_double(0.0)
+        tms = np.zeros(4)
         e_flag = self._fn(*refs, u, ctypes.byref(k), z, s, lam,
-                          ctypes.byref(ms))
+                          tms)
         return u, int(k.value), int(e_flag), dict(
-            z=z, s=s, lam=lam, run_time_ms=float(ms.value))
+            z=z, s=s, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))

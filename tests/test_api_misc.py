@@ -88,6 +88,24 @@ def test_cli_gen_demo(tmp_path):
     assert out.returncode == 0, out.stderr
     assert os.path.exists(tmp_path / "g" / "laxmpc_admm.c")
     assert os.path.exists(tmp_path / "g" / "liblaxmpc_admm.so")
+    # the dispatcher covers all 11 triples; spot-check a submethod route
+    out = _run_cli("gen", "--demo", "--formulation", "MPCT",
+                   "--method", "ADMM", "--submethod", "cs",
+                   "--directory", str(tmp_path / "g"))
+    assert out.returncode == 0, out.stderr
+    assert os.path.exists(tmp_path / "g" / "mpct_admm_cs.c")
+
+
+def test_cli_declare_license_install(tmp_path):
+    out = _run_cli("declare", "KVEC", "1.0,2.0", str(tmp_path))
+    assert out.returncode == 0, out.stderr
+    txt = open(tmp_path / "KVEC_declaration.txt").read()
+    assert "static const double KVEC[2]" in txt
+    out = _run_cli("license")
+    assert out.returncode == 0 and "Apache License" in out.stdout
+    for cmd in ("install", "uninstall"):
+        out = _run_cli(cmd)
+        assert out.returncode == 0 and "pip" in out.stdout
 
 
 @pytest.mark.parametrize("script", [

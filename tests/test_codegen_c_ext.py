@@ -198,6 +198,32 @@ def test_c_elliphmpc_matches_jax(base, outdir, use_soc):
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
 
 
+def test_phase_timers(base, outdir):
+    """Generated C returns the reference's four phase timers
+    (update/solve/polish/run, docs/timing.md) with run = sum of phases."""
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    opts = dict(rho=1e-2, tol=1e-7, k_max=5000)
+    generate_embedded_solver(sys, p, formulation="MPCT", method="ADMM",
+                             submethod="cs", directory=outdir,
+                             save_name="mpct_cs_timers", **opts)
+    s_jax = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="cs", **opts)
+    c = CompiledCSolver("mpct_cs_timers", n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                        directory=outdir)
+    _, _, _, sol = c(st["x"], st["xr"], st["ur"])
+    for key in ("update_time_ms", "solve_time_ms", "polish_time_ms",
+                "run_time_ms"):
+        assert sol[key] >= 0.0
+    assert sol["run_time_ms"] > 0.0
+    total = (sol["update_time_ms"] + sol["solve_time_ms"]
+             + sol["polish_time_ms"])
+    assert abs(sol["run_time_ms"] - total) < 0.05 * max(sol["run_time_ms"],
+                                                        1e-3)
+
+
 def test_dispatcher_rejects_unknown(base):
     sys, param, _ = base
     with pytest.raises(ValueError):
