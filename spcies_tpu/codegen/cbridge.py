@@ -296,3 +296,45 @@ class CompiledCEllipHmpcSolver:
             z=z, s=s, lam=lam, update_time_ms=float(tms[0]),
             solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
             run_time_ms=float(tms[3]))
+
+
+class CompiledCTvSolver:
+    """ctypes bridge for TIME_VARYING generated C solvers: the reference's
+    9-input signature (x0, xr, ur, A, B, Qdiag, Rdiag, LB, UB)
+    (struct_laxMPC_ADMM_C_Matlab.c:29-88, TIME_VARYING=1)."""
+
+    def __init__(self, name: str, n: int, m: int, nz: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.nz = n, m, nz
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_tv_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr] * 9 + [
+            dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr, dptr]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur, A, B, Qd, Rd, LB, UB):
+        n, m = self.n, self.m
+        args = [np.ascontiguousarray(a, dtype=np.float64)
+                for a in (x0, xr, ur, A, B, Qd, Rd, LB, UB)]
+        shapes = [(n,), (n,), (m,), (n, n), (n, m), (n,), (m,),
+                  (n + m,), (n + m,)]
+        for a, sh in zip(args, shapes):
+            if a.reshape(-1).size != int(np.prod(sh)):
+                raise ValueError(f"expected input of shape {sh}")
+        args = [a.reshape(-1) for a in args]
+        u = np.zeros(m)
+        z = np.zeros(self.nz)
+        v = np.zeros(self.nz)
+        lam = np.zeros(self.nz)
+        k = ctypes.c_int(0)
+        tms = np.zeros(4)
+        e_flag = self._fn(*args, u, ctypes.byref(k), z, v, lam, tms)
+        return u, int(k.value), int(e_flag), dict(
+            z=z, v=v, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))

@@ -11,7 +11,8 @@ from __future__ import annotations
 from spcies_tpu.codegen.emit_c import (GENERATED_DIR, generate_c_solver,
                                        generate_c_fista_solver,
                                        generate_c_mpct_eadmm_solver,
-                                       generate_c_hmpc_solver)
+                                       generate_c_hmpc_solver,
+                                       generate_c_tv_solver)
 from spcies_tpu.codegen.emit_c_ext import (generate_c_mpct_cs_solver,
                                            generate_c_mpct_semiband_solver,
                                            generate_c_ellipmpc_soc_solver,
@@ -67,10 +68,15 @@ def generate_embedded_solver(sys: dict, param: dict, *,
                              save_name: str | None = None,
                              directory: str = GENERATED_DIR,
                              compile: bool = True,
+                             time_varying: bool = False,
                              options=None, **solver_overrides) -> str:
     """Generate (and by default compile) a standalone plain-C solver for
     any supported (formulation, method, submethod) triple.  Returns the
     path to the generated .c file; lib<name>.so lands next to it.
+
+    time_varying=True (laxMPC/equMPC ADMM only) emits the reference's
+    TIME_VARYING=1 solver: 9-input signature with online Alpha/Beta
+    recomputation (examples/t01_time_varying_MPC.m workflow).
 
     This is the C-platform arm of the reference's spcies('gen', ...) flow;
     make_solver is the TPU arm.
@@ -78,6 +84,15 @@ def generate_embedded_solver(sys: dict, param: dict, *,
     sel = Options(formulation=formulation, method=method,
                   submethod=submethod)
     key = (sel.formulation, sel.method, sel.submethod)
+    if time_varying or (options is not None and options.time_varying):
+        if key[1:] != ("ADMM", "") or key[0] not in ("laxMPC", "equMPC"):
+            raise NotImplementedError(
+                "TIME_VARYING C generation supports laxMPC/equMPC ADMM "
+                "(examples/t01_time_varying_MPC.m:17-19)")
+        return generate_c_tv_solver(
+            sys, param, formulation=key[0], save_name=save_name,
+            directory=directory, compile=compile, options=options,
+            **solver_overrides)
     gen = _GENERATORS.get(key)
     if gen is None:
         raise NotImplementedError(

@@ -198,6 +198,47 @@ def test_c_elliphmpc_matches_jax(base, outdir, use_soc):
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
 
 
+@pytest.mark.parametrize("formulation", ["laxMPC", "equMPC"])
+def test_c_time_varying_matches_jax(base, outdir, formulation):
+    """TIME_VARYING C solver (9-input signature, online Alpha/Beta
+    Cholesky) vs the JAX time-varying engine, on a PERTURBED model so the
+    online factorization is genuinely exercised."""
+    from spcies_tpu.codegen import CompiledCTvSolver
+    sys, param, st = base
+    p = dict(param)
+    if formulation == "equMPC":
+        p.pop("T", None)
+    else:
+        p = dict(p, T=np.diag(np.sum(np.asarray(p["T"]), axis=1)))
+    opts = dict(rho=15.0, tol=1e-7, k_max=5000)
+    generate_embedded_solver(sys, p, formulation=formulation,
+                             method="ADMM", time_varying=True,
+                             directory=outdir, **opts)
+    opt = sp.default_options(formulation, "ADMM", **opts)
+    opt.time_varying = True
+    s_jax = sp.make_solver(sys, p, formulation=formulation, method="ADMM",
+                           options=opt)
+    c = CompiledCTvSolver(f"{formulation.lower()}_admm_tv", n=s_jax.n,
+                          m=s_jax.m, nz=s_jax.nz, directory=outdir)
+    n, m = s_jax.n, s_jax.m
+    rng = np.random.default_rng(26)
+    LB = np.concatenate([sys["LBx"], sys["LBu"]])
+    UB = np.concatenate([sys["UBx"], sys["UBu"]])
+    for trial in range(2):
+        A = np.asarray(sys["A"]) * (1.0 + 0.05 * trial)
+        B = np.asarray(sys["B"]) * (1.0 - 0.03 * trial)
+        Qd = np.diag(np.asarray(param["Q"])) * (1.0 + 0.1 * trial)
+        Rd = np.diag(np.asarray(param["R"]))
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"], A, B, Qd, Rd,
+                                 LB, UB)
+        r = s_jax(x0, st["xr"], st["ur"], A, B, Qd, Rd, LB, UB)
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
 def test_phase_timers(base, outdir):
     """Generated C returns the reference's four phase timers
     (update/solve/polish/run, docs/timing.md) with run = sum of phases."""
