@@ -338,3 +338,36 @@ class CompiledCTvSolver:
             z=z, v=v, lam=lam, update_time_ms=float(tms[0]),
             solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
             run_time_ms=float(tms[3]))
+
+
+class CompiledCTvFistaSolver:
+    """ctypes bridge for TIME_VARYING generated FISTA C solvers (9 inputs,
+    z/lam outputs)."""
+
+    def __init__(self, name: str, n: int, m: int, N: int, nz: int,
+                 directory: str = "generated_solvers"):
+        self.n, self.m, self.N, self.nz = n, m, N, nz
+        path = os.path.join(directory, f"lib{name}.so")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not found; run generate_c_tv_fista_solver first")
+        self._lib = ctypes.CDLL(os.path.abspath(path))
+        self._fn = getattr(self._lib, f"{name}_solve")
+        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        self._fn.argtypes = [dptr] * 9 + [
+            dptr, ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr]
+        self._fn.restype = ctypes.c_int
+
+    def __call__(self, x0, xr, ur, A, B, Qd, Rd, LB, UB):
+        args = [np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
+                for a in (x0, xr, ur, A, B, Qd, Rd, LB, UB)]
+        u = np.zeros(self.m)
+        z = np.zeros(self.nz)
+        lam = np.zeros(self.N * self.n)
+        k = ctypes.c_int(0)
+        tms = np.zeros(4)
+        e_flag = self._fn(*args, u, ctypes.byref(k), z, lam, tms)
+        return u, int(k.value), int(e_flag), dict(
+            z=z, lam=lam, update_time_ms=float(tms[0]),
+            solve_time_ms=float(tms[1]), polish_time_ms=float(tms[2]),
+            run_time_ms=float(tms[3]))

@@ -12,7 +12,8 @@ from spcies_tpu.codegen.emit_c import (GENERATED_DIR, generate_c_solver,
                                        generate_c_fista_solver,
                                        generate_c_mpct_eadmm_solver,
                                        generate_c_hmpc_solver,
-                                       generate_c_tv_solver)
+                                       generate_c_tv_solver,
+                                       generate_c_tv_fista_solver)
 from spcies_tpu.codegen.emit_c_ext import (generate_c_mpct_cs_solver,
                                            generate_c_mpct_semiband_solver,
                                            generate_c_ellipmpc_soc_solver,
@@ -85,11 +86,14 @@ def generate_embedded_solver(sys: dict, param: dict, *,
                   submethod=submethod)
     key = (sel.formulation, sel.method, sel.submethod)
     if time_varying or (options is not None and options.time_varying):
-        if key[1:] != ("ADMM", "") or key[0] not in ("laxMPC", "equMPC"):
+        if (key[0] not in ("laxMPC", "equMPC") or key[2] != ""
+                or key[1] not in ("ADMM", "FISTA")):
             raise NotImplementedError(
-                "TIME_VARYING C generation supports laxMPC/equMPC ADMM "
-                "(examples/t01_time_varying_MPC.m:17-19)")
-        return generate_c_tv_solver(
+                "TIME_VARYING C generation supports laxMPC/equMPC "
+                "ADMM/FISTA (examples/t01_time_varying_MPC.m:17-19)")
+        gen_tv = (generate_c_tv_solver if key[1] == "ADMM"
+                  else generate_c_tv_fista_solver)
+        return gen_tv(
             sys, param, formulation=key[0], save_name=save_name,
             directory=directory, compile=compile, options=options,
             **solver_overrides)

@@ -239,6 +239,111 @@ def test_c_time_varying_matches_jax(base, outdir, formulation):
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
 
 
+@pytest.mark.parametrize("formulation", ["laxMPC", "equMPC"])
+def test_c_time_varying_fista_matches_jax(base, outdir, formulation):
+    """TIME_VARYING FISTA C solver vs the JAX time-varying dual-FISTA
+    engine on a perturbed model."""
+    from spcies_tpu.codegen import CompiledCTvFistaSolver
+    sys, param, st = base
+    p = dict(param)
+    if formulation == "equMPC":
+        p.pop("T", None)
+    else:
+        p = dict(p, T=np.diag(np.sum(np.asarray(p["T"]), axis=1)))
+    opts = dict(tol=1e-7, k_max=5000)
+    generate_embedded_solver(sys, p, formulation=formulation,
+                             method="FISTA", time_varying=True,
+                             directory=outdir, **opts)
+    opt = sp.default_options(formulation, "FISTA", **opts)
+    opt.time_varying = True
+    s_jax = sp.make_solver(sys, p, formulation=formulation, method="FISTA",
+                           options=opt)
+    c = CompiledCTvFistaSolver(f"{formulation.lower()}_fista_tv",
+                               n=s_jax.n, m=s_jax.m, N=s_jax.N,
+                               nz=s_jax.nz, directory=outdir)
+    rng = np.random.default_rng(27)
+    LB = np.concatenate([sys["LBx"], sys["LBu"]])
+    UB = np.concatenate([sys["UBx"], sys["UBu"]])
+    for trial in range(2):
+        A = np.asarray(sys["A"]) * (1.0 + 0.05 * trial)
+        B = np.asarray(sys["B"]) * (1.0 - 0.03 * trial)
+        Qd = np.diag(np.asarray(param["Q"])) * (1.0 + 0.1 * trial)
+        Rd = np.diag(np.asarray(param["R"]))
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"], A, B, Qd, Rd,
+                                 LB, UB)
+        r = s_jax(x0, st["xr"], st["ur"], A, B, Qd, Rd, LB, UB)
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def test_c_vector_rho_matches_jax(base, outdir):
+    """Vector-rho static C solver (the reference's non-SCALAR_RHO path,
+    cons_laxMPC_ADMM_C.m:119-130) vs the JAX engine."""
+    from spcies_tpu.codegen import generate_c_solver
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+    n, m, N = len(st["x"]), len(st["ur"]), int(p["N"])
+    rho_vec = 15.0 * (1.0 + 0.5 * np.sin(np.arange(N * (n + m))))
+    opts = dict(rho=rho_vec, tol=1e-7, k_max=5000)
+    generate_c_solver(sys, p, formulation="laxMPC", directory=outdir,
+                      save_name="laxmpc_admm_vrho", **opts)
+    src = open(f"{outdir}/laxmpc_admm_vrho.c").read()
+    assert "RHOV" in src and "#define RHO " not in src
+    s_jax = sp.make_solver(sys, p, formulation="laxMPC", method="ADMM",
+                           **opts)
+    c = CompiledCSolver("laxmpc_admm_vrho", n=s_jax.n, m=s_jax.m,
+                        nz=s_jax.nz, directory=outdir)
+    rng = np.random.default_rng(28)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+
+
+def test_c_engineering_units_matches_jax(outdir):
+    """in_engineering static C solver: scaled inputs, de-scaled u output
+    (code_laxMPC_ADMM_C.c:82-115, :642-651) vs the JAX engineering path on
+    the Duffing plant (t03 workflow)."""
+    from spcies_tpu.codegen import generate_c_solver
+    from spcies_tpu.systems import duffing_to_ss, scale_ss
+    from spcies_tpu.utils import linalg
+    x_op = np.array([0.0, 1.0])
+    u_op = np.array([0.0])
+    Ac, Bc = duffing_to_ss(x_op, u_op, alpha=-1.0, beta=1.0, delta=0.3,
+                           gamma=1.0)
+    A, B = linalg.c2d_zoh(Ac, Bc, 0.1)
+    Nx, Nu = np.array([2.0, 0.5]), np.array([4.0])
+    sys = dict(scale_ss(A, B, UBx=x_op + 0.5, LBx=x_op - 0.5,
+                        UBu=u_op + 1.0, LBu=u_op - 1.0,
+                        x0=x_op, u0=u_op, Nx=Nx, Nu=Nu))
+    param = dict(Q=np.diag([1.0, 10.0]), R=np.eye(1),
+                 T=np.diag([5.0, 50.0]), N=12)
+    opt = sp.default_options("laxMPC", "ADMM", rho=1.0, tol=1e-7,
+                             k_max=5000)
+    opt.in_engineering = True
+    generate_c_solver(sys, param, formulation="laxMPC", options=opt,
+                      directory=outdir, save_name="laxmpc_admm_eng")
+    s_jax = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                           options=opt)
+    c = CompiledCSolver("laxmpc_admm_eng", n=s_jax.n, m=s_jax.m,
+                        nz=s_jax.nz, directory=outdir)
+    x_eng = x_op + np.array([0.05, -0.1])
+    u_c, k_c, e_c, sol_c = c(x_eng, x_op, u_op)
+    r = s_jax(x_eng, x_op, u_op)
+    assert e_c == int(r.e_flag[0]) == 1
+    assert k_c == int(r.k[0])
+    _compare(sol_c, r, ("z", "v", "lam"))
+    # u returned in ENGINEERING units by both paths
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
 def test_phase_timers(base, outdir):
     """Generated C returns the reference's four phase timers
     (update/solve/polish/run, docs/timing.md) with run = sum of phases."""
