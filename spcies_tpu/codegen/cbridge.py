@@ -14,36 +14,40 @@ import numpy as np
 class CompiledCSolver:
     """Loads lib<name>.so produced by generate_c_solver and exposes the
     same (u, k, e_flag, sol) interface as the JAX solvers (per problem,
-    not batched — this is the embedded deployment path)."""
+    not batched — this is the embedded deployment path). precision must
+    match the generation-time option ('double'/'float',
+    Spcies_options.m:66)."""
 
     def __init__(self, name: str, n: int, m: int, nz: int,
-                 directory: str = "generated_solvers"):
+                 directory: str = "generated_solvers",
+                 precision: str = "double"):
         self.n, self.m, self.nz = n, m, nz
+        self.dtype = np.float64 if precision == "double" else np.float32
         path = os.path.join(directory, f"lib{name}.so")
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"{path} not found; run generate_c_solver first")
         self._lib = ctypes.CDLL(os.path.abspath(path))
         self._fn = getattr(self._lib, f"{name}_solve")
-        dptr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C")
+        dptr = np.ctypeslib.ndpointer(dtype=self.dtype, flags="C")
         self._fn.argtypes = [dptr, dptr, dptr, dptr,
                              ctypes.POINTER(ctypes.c_int), dptr, dptr, dptr,
                              dptr]
         self._fn.restype = ctypes.c_int
 
     def __call__(self, x0, xr, ur):
-        x0 = np.ascontiguousarray(x0, dtype=np.float64).ravel()
-        xr = np.ascontiguousarray(xr, dtype=np.float64).ravel()
-        ur = np.ascontiguousarray(ur, dtype=np.float64).ravel()
+        x0 = np.ascontiguousarray(x0, dtype=self.dtype).ravel()
+        xr = np.ascontiguousarray(xr, dtype=self.dtype).ravel()
+        ur = np.ascontiguousarray(ur, dtype=self.dtype).ravel()
         if x0.size != self.n or xr.size != self.n or ur.size != self.m:
             raise ValueError(
                 f"expected x0/xr of dim {self.n} and ur of dim {self.m}")
-        u = np.zeros(self.m)
-        z = np.zeros(self.nz)
-        v = np.zeros(self.nz)
-        lam = np.zeros(self.nz)
+        u = np.zeros(self.m, self.dtype)
+        z = np.zeros(self.nz, self.dtype)
+        v = np.zeros(self.nz, self.dtype)
+        lam = np.zeros(self.nz, self.dtype)
         k = ctypes.c_int(0)
-        tms = np.zeros(4)
+        tms = np.zeros(4, self.dtype)
         e_flag = self._fn(x0, xr, ur, u, ctypes.byref(k), z, v, lam,
                           tms)
         return u, int(k.value), int(e_flag), dict(

@@ -370,6 +370,52 @@ def test_phase_timers(base, outdir):
                                                         1e-3)
 
 
+def test_c_float_precision(base, outdir):
+    """precision='float' emits a single-precision solver (reference
+    precision option, Spcies_options.m:66): converges, and matches the
+    fp64 optimum to fp32-class accuracy."""
+    from spcies_tpu.codegen import generate_c_solver
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=5000)
+    opt.precision = "float"
+    generate_c_solver(sys, p, formulation="laxMPC", options=opt,
+                      directory=outdir, save_name="laxmpc_admm_f32")
+    src = open(f"{outdir}/laxmpc_admm_f32.c").read()
+    assert "float" in src and "double" not in src
+    c = CompiledCSolver("laxmpc_admm_f32", n=6, m=2, nz=80,
+                        directory=outdir, precision="float")
+    s64 = sp.make_solver(sys, p, formulation="laxMPC", method="ADMM",
+                         rho=15.0, tol=1e-4, k_max=5000)
+    u_c, k_c, e_c, sol_c = c(st["x"], st["xr"], st["ur"])
+    r = s64(st["x"], st["xr"], st["ur"])
+    assert e_c == 1
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-3
+
+
+def test_cl_demo_executable(base, outdir):
+    """Pure-C closed-loop demo (main_cl_in_C.c analogue): generates,
+    compiles and runs a standalone executable that regulates the plant to
+    the steady-state reference."""
+    import subprocess
+    from spcies_tpu.codegen import generate_cl_demo
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+    exe = generate_cl_demo(sys, p, formulation="laxMPC",
+                           x_init=np.asarray(st["x"]) * 3.0, steps=25,
+                           directory=outdir, rho=15.0, tol=1e-5,
+                           k_max=2000)
+    out = subprocess.run([exe], capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    last = [l for l in out.stdout.splitlines() if l.startswith("final")][0]
+    final_err = float(last.split("=")[1])
+    assert final_err < 1e-2
+    assert out.stdout.count("t=") == 25
+
+
 def test_dispatcher_rejects_unknown(base):
     sys, param, _ = base
     with pytest.raises(ValueError):
