@@ -132,6 +132,10 @@ class Options:
     in_engineering: bool = False   # engineering-units scaling (scale_ss)
     time_varying: bool = False     # per-call (A,B,Q,R,LB,UB) data
     force_diagonal: bool = False
+    override: bool = True          # overwrite generated files; False picks
+                                   # an unused _vN name (find_unused_file_name.m)
+    const_are_static: bool = True  # emit `static const` vs plain `const`
+                                   # (dec_var.m 'static' option)
     verbose: int = 1
     # solver-specific knobs (rho, tol, k_max, ...)
     solver: dict[str, Any] = dataclasses.field(default_factory=dict)

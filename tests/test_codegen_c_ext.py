@@ -416,6 +416,29 @@ def test_cl_demo_executable(base, outdir):
     assert out.stdout.count("t=") == 25
 
 
+def test_override_and_const_are_static(base, outdir):
+    """override=False picks an unused <name>_vN (find_unused_file_name.m);
+    const_are_static=False emits plain `const` arrays (dec_var.m)."""
+    import os
+    from spcies_tpu.codegen import generate_c_solver
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=1000)
+    opt.override = False
+    opt.const_are_static = False
+    d = os.path.join(outdir, "ov")
+    p1 = generate_c_solver(sys, p, formulation="laxMPC", options=opt,
+                           directory=d, compile=False)
+    p2 = generate_c_solver(sys, p, formulation="laxMPC", options=opt,
+                           directory=d, compile=False)
+    assert p1.endswith("laxmpc_admm.c")
+    assert p2.endswith("laxmpc_admm_v2.c")
+    src = open(p2).read()
+    assert "static const" not in src and "const double" in src
+
+
 def test_dispatcher_rejects_unknown(base):
     sys, param, _ = base
     with pytest.raises(ValueError):
