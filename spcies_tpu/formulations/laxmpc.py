@@ -183,7 +183,9 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
         z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             make_z_step(b0), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters, z_lin=make_z_step(None),
+            fixed_iters=fixed_iters,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, :m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
@@ -441,7 +443,9 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
         z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             lambda qh: z_step_full(qh, b0, xr), proj, q_ref, rho, rho_i,
             tol, tol, k_max, batch=Bsz, nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters, z_lin=z_lin, history=opt.debug)
+            fixed_iters=fixed_iters,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            z_lin=z_lin, history=opt.debug)
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
                                     **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))

@@ -386,7 +386,9 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
         z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             make_z_step(x0), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
-            fixed_iters=fixed_iters, z_lin=make_z_step(None),
+            fixed_iters=fixed_iters,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, 2 * n:2 * n + m]
         return SolveResult(u=u, k=k, e_flag=e_flag,

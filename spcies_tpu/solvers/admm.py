@@ -57,12 +57,21 @@ def admm_solve(
     fixed_iters: int | None = None,
     z_lin: Callable | None = None,  # linear part only: z_lin(dq) = M_q dq
     history: bool = False,     # record per-iteration residual norms
+    relax_alpha: float = 1.0,  # over-relaxation (1 = plain ADMM; 1.5-1.8
+                               # typically cuts iterations ~2x; opt-in —
+                               # the reference has no relaxation, so
+                               # iterate parity requires 1.0)
 ):
     """Run batched single-split ADMM; returns (z, v, lam, k, e_flag, r_p, r_d).
 
     If `z_lin` is given the engine uses the delta-form iteration after the
     first (full) z-step; otherwise every iteration does the direct solve.
+
+    relax_alpha != 1 applies standard over-relaxation: the z-iterate used
+    in the v/dual updates is alpha*z + (1-alpha)*v_prev. Same fixed point
+    (z* = v*), usually fewer iterations.
     """
+    alpha = float(relax_alpha)
     if init is None:
         zeros = jnp.zeros((batch, nz), dtype=dtype)
         z0, v0, lam0 = zeros, zeros, zeros
@@ -77,22 +86,25 @@ def admm_solve(
         # branches every iteration). The body consumes the z prepared by
         # the previous iteration and prepares the next one incrementally.
         z1 = z_step(q_ref + lam0 - rho * v0)
-        state0 = dict(z=z1, z_next=z1, v=v0, v_prev=v0, lam=lam0,
-                      r_p=rinf, r_d=rinf)
+        # carry is deliberately minimal — the masked loop reads, writes
+        # and mask-blends every leaf each iteration, so each extra [B, nz]
+        # leaf costs 3x its size in HBM traffic per iteration
+        state0 = dict(z=z1, z_next=z1, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
 
         def body(state, _it):
             z = state["z_next"]
             v_prev = state["v"]
-            v = proj(z + rho_i * state["lam"])
-            lam = state["lam"] + rho * (z - v)
+            zr = z if alpha == 1.0 else alpha * z + (1.0 - alpha) * v_prev
+            v = proj(zr + rho_i * state["lam"])
+            lam = state["lam"] + rho * (zr - v)
             r_p = inf_norm(z - v)
             r_d = inf_norm(v - v_prev)
             conv = jnp.logical_and(r_p <= tol_p, r_d <= tol_d)
             # prepare z for the NEXT iteration:
             # dq = (lam_k - lam_{k-1}) - rho (v_k - v_{k-1})
-            dq = rho * (z - v) - rho * (v - v_prev)
+            dq = rho * (zr - v) - rho * (v - v_prev)
             z_next = z + z_lin(dq)
-            return (dict(z=z, z_next=z_next, v=v, v_prev=v_prev, lam=lam,
+            return (dict(z=z, z_next=z_next, v=v, lam=lam,
                          r_p=r_p, r_d=r_d), conv)
     else:
         state0 = dict(z=z0, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
@@ -101,8 +113,9 @@ def admm_solve(
             v_prev = state["v"]
             q_hat = q_ref + state["lam"] - rho * v_prev
             z = z_step(q_hat)
-            v = proj(z + rho_i * state["lam"])
-            lam = state["lam"] + rho * (z - v)
+            zr = z if alpha == 1.0 else alpha * z + (1.0 - alpha) * v_prev
+            v = proj(zr + rho_i * state["lam"])
+            lam = state["lam"] + rho * (zr - v)
             r_p = inf_norm(z - v)
             r_d = inf_norm(v - v_prev)
             conv = jnp.logical_and(r_p <= tol_p, r_d <= tol_d)

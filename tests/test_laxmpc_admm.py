@@ -137,3 +137,19 @@ def test_bf16_delta_accuracy(fixture):
     k_bf, k_64 = np.asarray(r_bf.k, float), np.asarray(r_64.k, float)
     assert np.max(np.abs(k_bf - k_64) / k_64) < 0.25
     assert np.max(np.abs(np.asarray(r_bf.u) - np.asarray(r_64.u))) < 5e-4
+
+
+def test_over_relaxation(fixture):
+    """relax_alpha != 1 (standard over-relaxation, opt-in — the reference
+    has no relaxation) reaches the same optimum in fewer iterations."""
+    sys, param, st = fixture
+    s_plain = sp.make_solver(sys, param, formulation="laxMPC",
+                             method="ADMM", rho=15.0, tol=1e-6, k_max=5000)
+    s_relax = sp.make_solver(sys, param, formulation="laxMPC",
+                             method="ADMM", rho=15.0, tol=1e-6, k_max=5000,
+                             relax_alpha=1.8)
+    rp = s_plain(st["x"], st["xr"], st["ur"])
+    rr = s_relax(st["x"], st["xr"], st["ur"])
+    assert int(rp.e_flag[0]) == int(rr.e_flag[0]) == 1
+    assert int(rr.k[0]) < int(rp.k[0])
+    assert np.max(np.abs(np.asarray(rr.u[0]) - np.asarray(rp.u[0]))) < 1e-5
