@@ -156,6 +156,7 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
             z_lin=make_z_step(None, None),
             history=opt.debug)
         u = v[:, :m]

@@ -185,6 +185,7 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
             z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, :m]
@@ -445,6 +446,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
             tol, tol, k_max, batch=Bsz, nz=nz, dtype=dtype, init=init,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
             z_lin=z_lin, history=opt.debug)
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
@@ -615,7 +617,10 @@ def _build_laxmpc_admm_fused(ing, opt, dtype):
         z, v, lam, k, e_flag, r_p, r_d = fused_admm_solve(
             z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
             rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
-            tile_b=tile_b, bf16=bf16, interpret=interpret)
+            tile_b=tile_b, bf16=bf16,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            check_every=int(opt.solver.get("check_every", 1)),
+            interpret=interpret)
         return SolveResult(
             u=v[:Bsz, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
             sol=dict(z=z[:Bsz, :nz], v=v[:Bsz, :nz], lam=lam[:Bsz, :nz],

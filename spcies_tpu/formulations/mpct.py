@@ -388,6 +388,7 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
             z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, 2 * n:2 * n + m]

@@ -54,7 +54,8 @@ def _round_up(x: int, m: int) -> int:
 def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                        z_ref, v_ref, lam_ref, k_ref, done_ref,
                        rp_ref, rd_ref, red_scratch,
-                       *, rho, rho_i, tol_p, tol_d, k_max, bf16):
+                       *, rho, rho_i, tol_p, tol_d, k_max, bf16,
+                       alpha=1.0, check_every=1):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -86,17 +87,20 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         it, done, k, z, z_next, v, lam, rp, rd = carry
         zc = z_next
         v_prev = v
-        y = zc + rho_i * lam
+        # over-relaxation (solvers/admm.py relax_alpha): the z-iterate used
+        # in the v/dual updates is alpha*z + (1-alpha)*v_prev
+        zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+        y = zr + rho_i * lam
         v_new = jnp.minimum(jnp.maximum(y, lb), ub)
         dp = zc - v_new
-        lam_new = lam + rho * dp
+        lam_new = lam + rho * (zr - v_new)
         red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1, keepdims=True)
         red_scratch[:, 1:2] = jnp.max(jnp.abs(v_new - v_prev), axis=1,
                                       keepdims=True)
         r_p = red_scratch[:, 0:1]
         r_d = red_scratch[:, 1:2]
         conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
-        dq = rho * (zc - 2.0 * v_new + v_prev)
+        dq = rho * (zr - 2.0 * v_new + v_prev)
         if bf16:
             zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
                                   mq.astype(jnp.bfloat16),
@@ -117,9 +121,77 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         return (it + 1, done_out, k_out, z_out, zn_out, v_out, lam_out,
                 rp_out, rd_out)
 
-    _it, done, k, z, _zn, v, lam, rp, rd = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), done0, k0, z, z_next, v, lam,
-                     rbig, rbig))
+    if check_every > 1:
+        # free-running mode: `check_every - 1` plain iterations (no
+        # reductions, no blending) then one checked iteration that only
+        # updates the (tile_b, 1) done/k bookkeeping. Converged lanes keep
+        # iterating (converging further) until the tile drains; k is
+        # recorded at check granularity.
+        def fast_body(_i, carry):
+            z_next, v, lam = carry
+            zc = z_next
+            v_prev = v
+            zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+            y = zr + rho_i * lam
+            v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+            lam_new = lam + rho * (zr - v_new)
+            dq = rho * (zr - 2.0 * v_new + v_prev)
+            if bf16:
+                zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                      mq.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+            else:
+                zn = zc + jax.lax.dot(dq, mq,
+                                      preferred_element_type=jnp.float32)
+            return (zn, v_new, lam_new)
+
+        def cond_f(carry):
+            it, done, _k, _zn, _v, _lam, _rp, _rd = carry
+            return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+        def body_f(carry):
+            it, done, k, z_next, v, lam, rp, rd = carry
+            z_next, v, lam = jax.lax.fori_loop(
+                0, check_every - 1, fast_body, (z_next, v, lam))
+            # checked iteration
+            zc = z_next
+            v_prev = v
+            zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+            y = zr + rho_i * lam
+            v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+            dp = zc - v_new
+            lam_new = lam + rho * (zr - v_new)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(v_new - v_prev), axis=1,
+                                          keepdims=True)
+            r_p = red_scratch[:, 0:1]
+            r_d = red_scratch[:, 1:2]
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            dq = rho * (zr - 2.0 * v_new + v_prev)
+            if bf16:
+                zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                      mq.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+            else:
+                zn = zc + jax.lax.dot(dq, mq,
+                                      preferred_element_type=jnp.float32)
+            a = 1.0 - done
+            k_out = k + a * float(check_every)
+            rp_out = a * r_p + done * rp
+            rd_out = a * r_d + done * rd
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, k_out, zn, v_new, lam_new,
+                    rp_out, rd_out)
+
+        _it, done, k, z_next_f, v, lam, rp, rd = jax.lax.while_loop(
+            cond_f, body_f, (jnp.int32(0), done0, k0, z_next, v, lam,
+                             rbig, rbig))
+        z = z_next_f
+    else:
+        _it, done, k, z, _zn, v, lam, rp, rd = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), done0, k0, z, z_next, v, lam,
+                         rbig, rbig))
 
     z_ref[:] = z
     v_ref[:] = v
@@ -133,6 +205,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
 def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
                      rho: float, tol_p: float, tol_d: float, k_max: int,
                      tile_b: int = 256, bf16: bool = False,
+                     relax_alpha: float = 1.0, check_every: int = 1,
                      interpret: bool = False):
     """Run the fused ADMM loop. All arrays must already be lane-padded to a
     multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
@@ -145,7 +218,8 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
     grid = (B // tile_b,)
     kernel = functools.partial(
         _fused_admm_kernel, rho=float(rho), rho_i=float(1.0 / rho),
-        tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16)
+        tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16,
+        alpha=float(relax_alpha), check_every=int(check_every))
 
     tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -61,6 +61,10 @@ def admm_solve(
                                # typically cuts iterations ~2x; opt-in —
                                # the reference has no relaxation, so
                                # iterate parity requires 1.0)
+    freeze_converged: bool = True,  # False = free-running throughput mode:
+                               # no per-lane freeze masking and a leaner
+                               # carry (z output is the prepared iterate);
+                               # per-lane k still records first tol hit
 ):
     """Run batched single-split ADMM; returns (z, v, lam, k, e_flag, r_p, r_d).
 
@@ -88,8 +92,12 @@ def admm_solve(
         z1 = z_step(q_ref + lam0 - rho * v0)
         # carry is deliberately minimal — the masked loop reads, writes
         # and mask-blends every leaf each iteration, so each extra [B, nz]
-        # leaf costs 3x its size in HBM traffic per iteration
-        state0 = dict(z=z1, z_next=z1, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
+        # leaf costs 3x its size in HBM traffic per iteration. In
+        # free-running mode the consumed-z leaf is dropped entirely (the
+        # returned z is then the prepared iterate, one solve fresher).
+        state0 = dict(z_next=z1, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
+        if freeze_converged:
+            state0["z"] = z1
 
         def body(state, _it):
             z = state["z_next"]
@@ -104,8 +112,10 @@ def admm_solve(
             # dq = (lam_k - lam_{k-1}) - rho (v_k - v_{k-1})
             dq = rho * (zr - v) - rho * (v - v_prev)
             z_next = z + z_lin(dq)
-            return (dict(z=z, z_next=z_next, v=v, lam=lam,
-                         r_p=r_p, r_d=r_d), conv)
+            out = dict(z_next=z_next, v=v, lam=lam, r_p=r_p, r_d=r_d)
+            if freeze_converged:
+                out["z"] = z
+            return (out, conv)
     else:
         state0 = dict(z=z0, v=v0, lam=lam0, r_p=rinf, r_d=rinf)
 
@@ -124,10 +134,12 @@ def admm_solve(
     if history:
         state, k, e_flag, hist = run_masked_loop(
             body, state0, k_max, batch, fixed_iters=fixed_iters,
-            history_keys=("r_p", "r_d"))
+            history_keys=("r_p", "r_d"), freeze=freeze_converged)
     else:
         state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
-                                           fixed_iters=fixed_iters)
+                                           fixed_iters=fixed_iters,
+                                           freeze=freeze_converged)
         hist = None
-    return (state["z"], state["v"], state["lam"], k, e_flag,
+    z_out = state["z"] if "z" in state else state["z_next"]
+    return (z_out, state["v"], state["lam"], k, e_flag,
             state["r_p"], state["r_d"], hist)

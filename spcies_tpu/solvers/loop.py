@@ -25,13 +25,22 @@ def _mask_like(mask, leaf):
 
 def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
                     fixed_iters: int | None = None,
-                    history_keys: tuple = ()):
+                    history_keys: tuple = (),
+                    freeze: bool = True):
     """Run `body` until every lane converges or k_max is hit.
 
     body(state, k) -> (new_state, conv[B] bool). `state` is any pytree whose
     leaves all have leading dim B. Returns (state, k[B], e_flag[B]) with
     k = iterations performed per lane (1-based, like the reference's k
     counter) and e_flag = 1 converged / -1 hit k_max.
+
+    freeze=False runs FREE: converged lanes keep iterating (converging
+    further) until the whole batch is done, instead of being frozen by
+    per-leaf masking. Per-lane k still records the first iteration that
+    met tolerance. This drops the mask-blend read of every state leaf
+    every iteration — a large share of the loop's HBM traffic — at the
+    cost of exact frozen-iterate parity (use freeze=True, the default,
+    when iterates must match the reference's per-lane exit states).
 
     fixed_iters: if given, run exactly that many iterations with no
     convergence checks or masking (benchmark mode; avoids the per-iteration
@@ -68,10 +77,12 @@ def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
         if fixed_iters is not None:
             state = new_state
             conv = jnp.zeros_like(conv)
-        else:
+        elif freeze:
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(_mask_like(active, new), new, old),
                 new_state, state)
+        else:
+            state = new_state
         hist = {key: h.at[it].set(state[key])
                 for key, h in hist.items()}
         k = jnp.where(active, it + 1, k)

@@ -77,3 +77,34 @@ def test_fused_rejects_fp64_and_fixed_iters(fixture):
     s_f, _ = _solvers(sys, param)
     with pytest.raises(ValueError, match="fixed_iters"):
         s_f(st["x"], st["xr"], st["ur"], fixed_iters=10)
+
+
+def test_fused_check_every_and_relaxation(fixture):
+    """check_every > 1 (free-running between convergence checks) and
+    relax_alpha: same converged solution as the dense engine; k reported
+    at check granularity (within check_every of the exact count)."""
+    sys, param, st = fixture
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                              k_max=1000, pallas_interpret=True, tile_b=8,
+                              check_every=8, relax_alpha=1.8)
+    opts.precision = "float"
+    s_f = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                         backend="fused", options=opts)
+    opts_d = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                                k_max=1000, relax_alpha=1.8)
+    opts_d.precision = "float"
+    s_d = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                         options=opts_d)
+    rng = np.random.default_rng(2)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    assert np.all(np.asarray(rf.e_flag) == 1)
+    kf, kd = np.asarray(rf.k), np.asarray(rd.k)
+    assert np.all(kf >= kd) and np.all(kf <= kd + 8)
+    assert np.all(kf % 8 == 0)
+    # free-running lanes over-converge: u agrees to tolerance-class accuracy
+    assert np.max(np.abs(np.asarray(rf.u) - np.asarray(rd.u))) < 1e-4
