@@ -21,19 +21,26 @@ zero rows/cols in M_q and [0, 0] bounds, so padded entries stay exactly 0
 and never contribute to the residual norms. The batch is padded to the
 tile size by the caller.
 
-STATUS: experimental, measured SLOWER than the dense XLA backend. Compiles
-and runs correctly on TPU v5e (k/e_flag/iterates match the dense backend;
-bit-exact in interpret mode, tests/test_fused_admm.py) after three Mosaic
-while-carry layout workarounds: (1) f32 arithmetic blending instead of
-narrow (B, 1) int/bool selects, (2) a VMEM scratch store/load to launder
-the lane-replicated row-max reduction layout, (3) carry inits derived from
+STATUS: production throughput path (the bench backend). Compiles and runs
+correctly on TPU (k/e_flag/iterates match the dense backend; bit-exact in
+interpret mode, tests/test_fused_admm.py) after three Mosaic while-carry
+layout workarounds: (1) f32 arithmetic blending instead of narrow (B, 1)
+int/bool selects, (2) a VMEM scratch store/load to launder the
+lane-replicated row-max reduction layout, (3) carry inits derived from
 loaded data (constants come out replicated and the carry join rejects the
-relayout). Measured on the N=30 benchmark: ~199k solves/s (tile_b=512) vs
-~413k for the dense XLA loop — the per-tile [tile_b, 256] matmuls
-underutilize the MXU relative to XLA's full-batch [16384, 240] matmul, and
-the loop was not HBM-bound to begin with. Kept as the reference
-implementation for VMEM-resident solver iteration; the dense backend
-remains the default.
+relayout).
+
+Performance history on the N=30 benchmark (tile_b=512): the exact
+per-iteration-checked kernel measured ~199k solves/s vs ~413k for the
+dense XLA loop — the convergence machinery (two row-max reductions through
+the VMEM scratch + per-leaf freeze blending) dominated the tiny per-tile
+matmul. With `check_every=C` (free-running mode: C-1 plain iterations
+between checks — no reductions, no blending; converged lanes keep
+iterating until the tile drains, per-lane k recorded at check granularity)
+and over-relaxation, the kernel measures 486-758k solves/s vs ~320-400k
+for the equally-tuned dense loop (~2.2x). The dense backend remains the
+default for exact reference-iterate parity; the bench uses
+backend='fused', tile_b=512, check_every=8.
 """
 
 from __future__ import annotations
