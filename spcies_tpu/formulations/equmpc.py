@@ -142,6 +142,19 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                              .at[:, 0].set(-b0).at[:, -1].set(-xr))
                 return eq_qp(q_hat, rhs_extra)
             return z_step
+    elif backend == "fused":
+        from spcies_tpu.solvers.fused_backend import (
+            build_fused_box_admm_solve)
+        M_b0 = jnp.asarray(ing["M_b0"], jnp.float32)
+        M_bN = jnp.asarray(ing["M_bN"], jnp.float32)
+        _solve_f = build_fused_box_admm_solve(
+            ing, opt, dtype,
+            make_q_ref=lambda x0, xr, ur: _equmpc_q_ref(ing, xr, ur, dtype),
+            make_aux_b=lambda x0, xr, ur: ((-(x0 @ A.T)) @ M_b0.T
+                                           + xr @ M_bN.T),
+            u_start=0)
+        return BatchedSolver(_solve_f, ing, opt, n=n, m=m, N=N, nz=nz,
+                             dtype=dtype)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 

@@ -349,8 +349,8 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
                        backend: str = "dense") -> BatchedSolver:
     """MPCT via ADMM on the extended (x_i, x_s, u_i, u_s) state space
     (code_MPCT_ADMM_cs_C.c:94-218, spcies_MPCT_ADMM_cs_solver.m)."""
-    if backend not in ("dense",):
-        raise ValueError("MPCT/ADMM-cs has a dense backend")
+    if backend not in ("dense", "fused"):
+        raise ValueError("MPCT/ADMM-cs has dense and fused backends")
     ing = mpct_admm_cs_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -372,6 +372,22 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
         if x0 is None:
             return lambda dq: dq @ M_q.T
         return lambda q_hat: q_hat @ M_q.T + x0 @ M_b.T
+
+    def _cs_q_ref(x0, xr, ur):
+        qstage = jnp.concatenate(
+            [jnp.zeros_like(x0), -(xr @ T.T) / N,
+             jnp.zeros_like(ur), -(ur @ S.T) / N], axis=-1)
+        return jnp.tile(qstage, (1, N))
+
+    if backend == "fused":
+        from spcies_tpu.solvers.fused_backend import (
+            build_fused_box_admm_solve)
+        _solve_f = build_fused_box_admm_solve(
+            ing, opt, dtype, make_q_ref=_cs_q_ref,
+            make_aux_b=lambda x0, xr, ur: x0 @ M_b.T,
+            u_start=2 * n, lb_key="LB", ub_key="UB")
+        return BatchedSolver(_solve_f, ing, opt, n=n, m=m, N=N, nz=nz,
+                             dtype=dtype)
 
     def proj(y):
         return proj_box(y, LB, UB)

@@ -108,3 +108,41 @@ def test_fused_check_every_and_relaxation(fixture):
     assert np.all(kf % 8 == 0)
     # free-running lanes over-converge: u agrees to tolerance-class accuracy
     assert np.max(np.abs(np.asarray(rf.u) - np.asarray(rd.u))) < 1e-4
+
+
+@pytest.mark.parametrize("formulation", ["equMPC", "MPCT-cs"])
+def test_fused_generalizes_to_other_box_admm(fixture, formulation):
+    """The fused backend is formulation-generic over dense box-ADMM:
+    equMPC and MPCT-ADMM-cs run the same kernel, matching their dense
+    engines exactly at check_every=1 (interpret mode)."""
+    sys, param, st = fixture
+    p = dict(param)
+    kw = dict(rho=15.0, tol=1e-4, k_max=1000)
+    if formulation == "equMPC":
+        p.pop("T", None)
+        fm = dict(formulation="equMPC", method="ADMM")
+    else:
+        p["T"] = 10.0 * np.asarray(p["Q"])
+        p["S"] = np.asarray(p["R"]).copy()
+        kw["rho"] = 1e-1
+        fm = dict(formulation="MPCT", method="ADMM", submethod="cs")
+    opts = sp.default_options(fm["formulation"], fm["method"],
+                              fm.get("submethod", ""),
+                              pallas_interpret=True, tile_b=8, **kw)
+    opts.precision = "float"
+    s_f = sp.make_solver(sys, p, backend="fused", options=opts, **fm)
+    opts_d = sp.default_options(fm["formulation"], fm["method"],
+                                fm.get("submethod", ""), **kw)
+    opts_d.precision = "float"
+    s_d = sp.make_solver(sys, p, options=opts_d, **fm)
+    rng = np.random.default_rng(4)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    assert np.max(np.abs(np.asarray(rf.u) - np.asarray(rd.u))) < 1e-6
