@@ -131,7 +131,9 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                 return q_hat @ M_q.T + b0 @ M_b0.T + xr @ M_bN.T
             return z_step
     elif backend == "banded":
-        eq_qp = stagewise.make_banded_eq_qp(ing, dtype, terminal=False)
+        eq_qp = stagewise.make_banded_eq_qp(
+            ing, dtype, terminal=False,
+            parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
 
         def make_z_step(b0, xr):
             if b0 is None:

@@ -159,7 +159,9 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
             return z_step
     elif backend == "banded":
         from spcies_tpu.formulations import stagewise
-        eq_qp = stagewise.make_banded_eq_qp(ing, dtype, terminal=True)
+        eq_qp = stagewise.make_banded_eq_qp(
+            ing, dtype, terminal=True,
+            parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
 
         def make_z_step(b0):
             if b0 is None:

@@ -53,7 +53,7 @@ def g_apply(z0, zm, zN, A_, B_, AB):
     return jnp.concatenate([r0[:, None], r_mid, r_last[:, None]], axis=1)
 
 
-def make_banded_eq_qp(ing, dtype, terminal):
+def make_banded_eq_qp(ing, dtype, terminal, parallel_scan=False):
     """Build the banded equality-QP solve shared by laxMPC / equMPC /
     ellipMPC ADMM backends:
 
@@ -68,8 +68,15 @@ def make_banded_eq_qp(ing, dtype, terminal):
     Returns z_step(q_hat [B, nz], rhs_extra [B, N, n] | None) where
     rhs_extra = -beq stacked per stage (None for the pure linear map used
     by the delta-form iteration).
+
+    parallel_scan=True routes the band solve through the O(log N)-depth
+    associative-scan variant (kernels.band_chol.band_chol_solve_scan) for
+    long horizons.
     """
-    from spcies_tpu.kernels.band_chol import band_chol_solve, beta_inverses
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan,
+                                              beta_inverses)
+    band_solve = band_chol_solve_scan if parallel_scan else band_chol_solve
     n, m, N = ing["n"], ing["m"], ing["N"]
     Alpha_np, BetaInv_np = beta_inverses(ing["Alpha"], ing["Beta"])
     Alpha = jnp.asarray(Alpha_np, dtype)
@@ -91,7 +98,7 @@ def make_banded_eq_qp(ing, dtype, terminal):
         rhs = -g_apply(h0, hm, hN, A_, B_, AB)
         if rhs_extra is not None:
             rhs = rhs + rhs_extra
-        mu = band_chol_solve(rhs, Alpha, BetaInv)
+        mu = band_solve(rhs, Alpha, BetaInv)
         g0, gm, gN = split_z(gt_apply(mu, n, m, B_, AB, terminal),
                              n, m, N, terminal)
         z0 = -(h0 + Hi_0 * g0)

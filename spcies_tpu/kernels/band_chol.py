@@ -92,3 +92,69 @@ def band_chol_solve(rhs, Alpha, BetaInv):
     mu = jnp.concatenate([jnp.moveaxis(mus, 0, 1)[:, ::-1], muN[:, None]],
                          axis=1)
     return mu
+
+
+def band_chol_solve_scan(rhs, Alpha, BetaInv):
+    """Parallel-over-the-horizon variant of band_chol_solve via
+    jax.lax.associative_scan (the SURVEY long-horizon plan: the sequential
+    2N-step recursion is latency-bound for large N; both substitutions are
+    affine recursions y_l = y_{l-1} M_l + c_l, so they compose
+    associatively as (M, c) pairs in O(log N) depth).
+
+    Same signature and result as band_chol_solve (fp64 agreement to
+    roundoff; composition order differs so bitwise equality is not
+    guaranteed). Costs O(N log N) small n x n matrix products instead of
+    O(N) matvecs — profitable when N is large and the batch is small.
+    """
+    B, N, n = rhs.shape
+    batched = Alpha.ndim == 4
+
+    if batched:
+        # [B, N-1, n, n] blocks (time-varying per-lane factors)
+        Mf = -jnp.einsum("blij,bljk->blik", Alpha, BetaInv[:, 1:])
+        cf = jnp.einsum("bli,blij->blj", rhs[:, 1:], BetaInv[:, 1:])
+        y0 = jnp.einsum("bi,bij->bj", rhs[:, 0], BetaInv[:, 0])
+        M = jnp.concatenate(
+            [jnp.zeros_like(Mf[:, :1]), Mf], axis=1)      # [B, N, n, n]
+        c = jnp.concatenate([y0[:, None], cf], axis=1)    # [B, N, n]
+        axis = 1
+    else:
+        Mf = -(Alpha @ BetaInv[1:])                       # [N-1, n, n]
+        cf = jnp.einsum("bli,lij->blj", rhs[:, 1:], BetaInv[1:])
+        y0 = rhs[:, 0] @ BetaInv[0]
+        M = jnp.concatenate([jnp.zeros_like(Mf[:1]), Mf])  # [N, n, n]
+        c = jnp.concatenate([y0[:, None], cf], axis=1)     # [B, N, n]
+        axis = 1
+        # broadcast M over the batch so both leaves share leading dims
+        M = jnp.broadcast_to(M[None], (B,) + M.shape)
+
+    def combine(a, b):
+        Ma, ca = a
+        Mb, cb = b
+        return (jnp.einsum("...ij,...jk->...ik", Ma, Mb),
+                jnp.einsum("...i,...ij->...j", ca, Mb) + cb)
+
+    _, y = jax.lax.associative_scan(combine, (M, c), axis=axis)
+
+    # backward: mu_l = mu_{l+1} Mb_l + cb_l, l = N-2..0
+    if batched:
+        AlT = jnp.swapaxes(Alpha, -1, -2)
+        BiT = jnp.swapaxes(BetaInv, -1, -2)
+        Mb = -jnp.einsum("blij,bljk->blik", AlT, BiT[:, :-1])
+        cb = jnp.einsum("bli,blij->blj", y[:, :-1], BiT[:, :-1])
+        muN = jnp.einsum("bi,bij->bj", y[:, N - 1], BiT[:, N - 1])
+        Mrev = jnp.concatenate(
+            [jnp.zeros_like(Mb[:, :1]), Mb[:, ::-1]], axis=1)
+        crev = jnp.concatenate([muN[:, None], cb[:, ::-1]], axis=1)
+    else:
+        AlT = jnp.swapaxes(Alpha, -1, -2)
+        BiT = jnp.swapaxes(BetaInv, -1, -2)
+        Mb = -(AlT @ BiT[:-1])                            # [N-1, n, n]
+        cb = jnp.einsum("bli,lij->blj", y[:, :-1], BiT[:-1])
+        muN = y[:, N - 1] @ BiT[N - 1]
+        Mrev = jnp.concatenate([jnp.zeros_like(Mb[:1]), Mb[::-1]])
+        Mrev = jnp.broadcast_to(Mrev[None], (B,) + Mrev.shape)
+        crev = jnp.concatenate([muN[:, None], cb[:, ::-1]], axis=1)
+
+    _, mu_rev = jax.lax.associative_scan(combine, (Mrev, crev), axis=1)
+    return mu_rev[:, ::-1]

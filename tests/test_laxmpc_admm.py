@@ -153,3 +153,23 @@ def test_over_relaxation(fixture):
     assert int(rp.e_flag[0]) == int(rr.e_flag[0]) == 1
     assert int(rr.k[0]) < int(rp.k[0])
     assert np.max(np.abs(np.asarray(rr.u[0]) - np.asarray(rp.u[0]))) < 1e-5
+
+
+def test_banded_parallel_scan_matches_sequential(fixture):
+    """band_parallel_scan=True (associative-scan band solve for long
+    horizons) reproduces the sequential banded backend's results."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["N"] = 40
+    s_seq = sp.make_solver(sys, p, formulation="laxMPC", method="ADMM",
+                           backend="banded", rho=15.0, tol=1e-6, k_max=5000)
+    s_par = sp.make_solver(sys, p, formulation="laxMPC", method="ADMM",
+                           backend="banded", rho=15.0, tol=1e-6, k_max=5000,
+                           band_parallel_scan=True)
+    rs = s_seq(st["x"], st["xr"], st["ur"])
+    rp = s_par(st["x"], st["xr"], st["ur"])
+    assert int(rs.e_flag[0]) == int(rp.e_flag[0]) == 1
+    assert int(rs.k[0]) == int(rp.k[0])
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rs.sol[key][0])
+                             - np.asarray(rp.sol[key][0]))) < 1e-9
