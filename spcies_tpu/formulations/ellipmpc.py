@@ -35,7 +35,8 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
 from spcies_tpu.formulations import stagewise
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box, proj_ellipsoid, proj_soc
-from spcies_tpu.solvers.common import SolveResult, inf_norm
+from spcies_tpu.solvers.common import (SolveResult, inf_norm,
+                                        hist_sol_entries)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -228,8 +229,7 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=state["z"], v=v, lam=state["lam"],
                                     r_p=state["r_p"], r_d=state["r_d"],
-                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
-                        if hist else {})))
+                     **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -397,8 +397,7 @@ def build_ellipmpc_admm_soc(sys: dict, param: dict, opt: Options,
                      z_hat=aux[:, :dim], s_hat=aux[:, dim:],
                      lam=state["lam"], mu=state["mu"],
                      r_p=state["r_p"], r_d=state["r_d"],
-                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
-                        if hist else {})))
+                     **hist_sol_entries(hist)))
 
     return BatchedSolver(
         _solve, ing, opt, n=n, m=m, N=N, nz=dim, dtype=dtype,

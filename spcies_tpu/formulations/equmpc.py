@@ -24,7 +24,8 @@ from spcies_tpu.formulations.laxmpc import _make_fista_parts
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
-from spcies_tpu.solvers.common import SolveResult
+from spcies_tpu.solvers.common import (SolveResult,
+                                        hist_sol_entries)
 from spcies_tpu.api import BatchedSolver
 
 
@@ -177,7 +178,7 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
         u = v[:, :m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
-                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -249,6 +250,6 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
             history=opt.debug)
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, lam=y, res=res,
-                                    **({'hRes': hist['res']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

@@ -31,7 +31,8 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
                                           get_bounds)
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import (proj_box, proj_soc, proj_diamond)
-from spcies_tpu.solvers.common import SolveResult, inf_norm
+from spcies_tpu.solvers.common import (SolveResult, inf_norm,
+                                        hist_sol_entries)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -350,8 +351,7 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, s=state["s"], lam=state["lam"],
                                     r_p=state["r_p"], r_d=state["r_d"],
-                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
-                        if hist else {})))
+                     **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
                          dtype=dtype)
@@ -483,8 +483,7 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
             sol=dict(z=z, s=state["s"], z_hat=aux[:, :dim],
                      s_hat=aux[:, dim:], lam=state["lam"], mu=state["mu"],
                      r_p=state["r_p"], r_d=state["r_d"],
-                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
-                        if hist else {})))
+                     **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
                          dtype=dtype)
@@ -616,8 +615,7 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, s=state["s"], lam=state["lam"],
                                     r_p=state["r_p"], r_d=state["r_d"],
-                     **({"hRp": hist["r_p"], "hRd": hist["r_d"]}
-                        if hist else {})))
+                     **hist_sol_entries(hist)))
 
     return BatchedSolver(
         _solve, ing, opt, n=n, m=m, N=N, nz=dim, dtype=dtype,

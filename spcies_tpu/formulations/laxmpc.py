@@ -29,7 +29,8 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
-from spcies_tpu.solvers.common import SolveResult
+from spcies_tpu.solvers.common import (SolveResult,
+                                        hist_sol_entries)
 from spcies_tpu.api import BatchedSolver, broadcast_inputs
 
 
@@ -193,7 +194,7 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
         u = v[:, :m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
-                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -325,7 +326,7 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
             history=opt.debug)
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, lam=y, res=res,
-                                    **({'hRes': hist['res']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -452,7 +453,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
             z_lin=z_lin, history=opt.debug)
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
-                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(
         _solve, dict(n=n, m=m, N=N, nz=nz), opt, n=n, m=m, N=N, nz=nz,
@@ -551,7 +552,7 @@ def _tv_fista_solver(sys, param, opt, *, terminal: bool):
             fixed_iters=fixed_iters)
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, lam=y, res=res,
-                                    **({'hRes': hist['res']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(
         _solve, dict(n=n, m=m, N=N, nz=nz), opt, n=n, m=m, N=N, nz=nz,

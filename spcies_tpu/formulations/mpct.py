@@ -28,7 +28,8 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
-from spcies_tpu.solvers.common import SolveResult, inf_norm
+from spcies_tpu.solvers.common import (SolveResult, inf_norm,
+                                        hist_sol_entries)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -410,7 +411,7 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
         u = v[:, 2 * n:2 * n + m]
         return SolveResult(u=u, k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
-                                    **({'hRp': hist['r_p'], 'hRd': hist['r_d']} if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
 
@@ -656,8 +657,6 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
                            sol=dict(z=state["z"], v=state["v"],
                                     lam=state["lam"], r_p=state["r_p"],
                                     r_d=state["r_d"],
-                                    **({"hRp": hist["r_p"],
-                                        "hRd": hist["r_d"]}
-                                       if hist else {})))
+                                    **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)

@@ -56,7 +56,9 @@ def admm_solve(
     init=None,                 # optional (z0, v0, lam0) warm start
     fixed_iters: int | None = None,
     z_lin: Callable | None = None,  # linear part only: z_lin(dq) = M_q dq
-    history: bool = False,     # record per-iteration residual norms
+    history: int = 0,          # genHist level: 1 = residual norms per
+                               # iteration, 2 = + full z/v/lam traces
+                               # (spcies_laxMPC_ADMM_solver.m genHist)
     relax_alpha: float = 1.0,  # over-relaxation (1 = plain ADMM; 1.5-1.8
                                # typically cuts iterations ~2x; opt-in —
                                # the reference has no relaxation, so
@@ -132,9 +134,13 @@ def admm_solve(
             return dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d), conv
 
     if history:
+        keys = ("r_p", "r_d")
+        if int(history) >= 2:
+            keys += (("z", "v", "lam") if "z" in state0
+                     else ("z_next", "v", "lam"))
         state, k, e_flag, hist = run_masked_loop(
             body, state0, k_max, batch, fixed_iters=fixed_iters,
-            history_keys=("r_p", "r_d"), freeze=freeze_converged)
+            history_keys=keys, freeze=freeze_converged)
     else:
         state, k, e_flag = run_masked_loop(body, state0, k_max, batch,
                                            fixed_iters=fixed_iters,

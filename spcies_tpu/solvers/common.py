@@ -33,3 +33,14 @@ def inf_norm(x, axis=-1):
     """Per-lane infinity norm, the reference's residual metric
     (code_laxMPC_ADMM_C.c:570-620 early-break scan is equivalent)."""
     return jnp.max(jnp.abs(x), axis=axis)
+
+
+def hist_sol_entries(hist):
+    """Map recorded history traces to the reference's genHist-style sol
+    field names (hRp/hRd at level 1; + hZ/hV/hLam at level 2)."""
+    if not hist:
+        return {}
+    names = {"r_p": "hRp", "r_d": "hRd", "res": "hRes",
+             "z": "hZ", "z_next": "hZ", "v": "hV", "lam": "hLam",
+             "s": "hS", "mu": "hMu"}
+    return {names.get(k, "h" + k): v for k, v in hist.items()}

@@ -46,11 +46,13 @@ def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
     convergence checks or masking (benchmark mode; avoids the per-iteration
     any-active reduction).
 
-    history_keys: names of scalar-per-lane state entries (e.g. residual
-    norms) to record per iteration — the reference's genHist traces
-    (spcies_laxMPC_ADMM_solver.m:308-319). When non-empty the return is
-    (state, k, e_flag, hist) with hist[key] of shape [B, k_max]; entries
-    past a lane's exit hold the frozen final value (consume with `k`).
+    history_keys: names of per-lane state entries to record per iteration —
+    the reference's genHist traces (spcies_laxMPC_ADMM_solver.m:308-319).
+    Scalar-per-lane entries ([B], e.g. residual norms) give the genHist=1
+    level; full iterate entries ([B, nz], e.g. z/v/lam) give genHist=2.
+    When non-empty the return is (state, k, e_flag, hist) with hist[key]
+    of shape [B, k_max, ...]; entries past a lane's exit hold the frozen
+    final value (consume with `k`).
     """
     if fixed_iters is not None and not history_keys:
         def fbody(_, state):
@@ -63,7 +65,8 @@ def run_masked_loop(body: Callable, state0, k_max: int, batch: int,
     done0 = jnp.zeros((batch,), dtype=bool)
     k0 = jnp.zeros((batch,), dtype=jnp.int32)
     n_iter = fixed_iters if fixed_iters is not None else k_max
-    hist0 = {key: jnp.zeros((n_iter, batch), dtype=state0[key].dtype)
+    hist0 = {key: jnp.zeros((n_iter,) + state0[key].shape,
+                            dtype=state0[key].dtype)
              for key in history_keys}
 
     def cond(carry):

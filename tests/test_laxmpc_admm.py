@@ -173,3 +173,28 @@ def test_banded_parallel_scan_matches_sequential(fixture):
     for key in ("z", "v", "lam"):
         assert np.max(np.abs(np.asarray(rs.sol[key][0])
                              - np.asarray(rp.sol[key][0]))) < 1e-9
+
+
+def test_genhist_level2_full_traces(fixture):
+    """options.debug = 2 records full per-iteration z/v/lam traces (the
+    reference's genHist=2, spcies_laxMPC_ADMM_solver.m:340-349), frozen at
+    each lane's exit."""
+    sys, param, st = fixture
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=200)
+    opt.debug = 2
+    s = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       options=opt)
+    res = s(st["x"], st["xr"], st["ur"])
+    for key in ("hRp", "hRd", "hZ", "hV", "hLam"):
+        assert key in res.sol, key
+    hV = np.asarray(res.sol["hV"][0])       # [k_max, nz]
+    assert hV.shape == (200, s.nz)
+    k = int(res.k[0])
+    # the trace at the lane's exit equals the returned iterate
+    np.testing.assert_allclose(hV[k - 1], np.asarray(res.sol["v"][0]),
+                               rtol=0, atol=0)
+    # residual trace decreases overall (skip the leading iterations where
+    # z is still feasible and r_p is exactly 0)
+    hRp = np.asarray(res.sol["hRp"][0])
+    assert hRp[k - 1] < np.max(hRp)
