@@ -44,6 +44,7 @@ def main():
                               method="ADMM", options=opts, backend=backend)
 
     solver = build("fused", tile_b=512, check_every=8)
+    backend_used = "fused"
 
     import jax.numpy as jnp
 
@@ -65,6 +66,7 @@ def main():
         res.u.block_until_ready()
     except Exception:
         solver = build("dense")
+        backend_used = "dense-fallback"
         res = solver(x0, xr, ur)
         res.u.block_until_ready()
     n_conv = int(np.sum(np.asarray(res.e_flag) == 1))
@@ -90,6 +92,7 @@ def main():
         "k_mean": round(k_mean, 1),
         "converged_frac": round(n_conv / BATCH, 4),
         "platform": jax.devices()[0].platform,
+        "backend": backend_used,
     }
     print(json.dumps(out))
 

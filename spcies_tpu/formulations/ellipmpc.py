@@ -220,7 +220,9 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d",))
+                history_keys=("r_p", "r_d")
+                + (("z", "v", "lam")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)
@@ -384,7 +386,9 @@ def build_ellipmpc_admm_soc(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d",))
+                history_keys=("r_p", "r_d")
+                + (("z", "s", "lam", "mu")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)

@@ -87,6 +87,10 @@ def equmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
         M_q=M_q,
         M_b0=M_b[:, :n].copy(), M_bN=M_b[:, -n:].copy(),
         Alpha=Alpha, Beta=Beta, LB_z=LB_z, UB_z=UB_z,
+        scaling_x=np.asarray(sys.get("Nx", np.ones(n)), float).ravel(),
+        scaling_u=np.asarray(sys.get("Nu", np.ones(m)), float).ravel(),
+        op_x=np.asarray(sys.get("x0", np.zeros(n)), float).ravel(),
+        op_u=np.asarray(sys.get("u0", np.zeros(m)), float).ravel(),
     )
 
 

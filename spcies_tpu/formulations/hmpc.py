@@ -342,7 +342,9 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d",))
+                history_keys=("r_p", "r_d")
+                + (("z", "s", "lam")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)
@@ -471,7 +473,9 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d",))
+                history_keys=("r_p", "r_d")
+                + (("z", "s", "lam", "mu")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)
@@ -606,7 +610,9 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d",))
+                history_keys=("r_p", "r_d")
+                + (("z", "s", "lam")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)

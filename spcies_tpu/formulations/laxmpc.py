@@ -562,72 +562,19 @@ def _tv_fista_solver(sys, param, opt, *, terminal: bool):
 
 
 def _build_laxmpc_admm_fused(ing, opt, dtype):
-    """'fused' backend: the whole masked ADMM loop as one Pallas kernel per
-    batch tile with all state resident in VMEM (kernels/fused_admm.py) —
-    removes the per-iteration HBM round trips of the XLA-level loop.
-    fp32 only (the production throughput path); supports warm starts;
-    fixed_iters benchmark mode is not available here."""
-    from spcies_tpu.kernels.fused_admm import fused_admm_solve, _round_up
+    """'fused' backend: the whole ADMM loop as one Pallas kernel per batch
+    tile with all state resident in VMEM (kernels/fused_admm.py), via the
+    shared dense box-ADMM adapter (solvers/fused_backend.py). fp32 only;
+    supports warm starts; fixed_iters benchmark mode is not available."""
+    from spcies_tpu.solvers.fused_backend import build_fused_box_admm_solve
 
-    if dtype != jnp.float32:
-        raise ValueError("the fused backend is the fp32 production path; "
-                         "use backend='dense' for fp64 verification")
-    if not ing["rho_is_scalar"]:
-        raise ValueError("the fused backend requires scalar rho")
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
-    tol = float(opt.solver["tol"])
-    k_max = int(opt.solver["k_max"])
-    rho_f = float(ing["rho_scalar"])
-    bf16 = bool(opt.solver.get("bf16_delta", False))
-    interpret = bool(opt.solver.get("pallas_interpret", False))
-    tile_b = int(opt.solver.get("tile_b", 256))
-
-    nzp = _round_up(nz, 128)
-    M_q_pad = np.zeros((nzp, nzp), dtype=np.float32)
-    M_q_pad[:nz, :nz] = ing["M_q"].T      # kernel does dq @ M_q_pad
-    LB_pad = np.zeros((1, nzp), dtype=np.float32)
-    UB_pad = np.zeros((1, nzp), dtype=np.float32)
-    LB_pad[0, :nz] = np.maximum(ing["LB_z"], -1e30)
-    UB_pad[0, :nz] = np.minimum(ing["UB_z"], 1e30)
-    M_q_pad = jnp.asarray(M_q_pad)
-    LB_pad = jnp.asarray(LB_pad)
-    UB_pad = jnp.asarray(UB_pad)
-    M_q = jnp.asarray(ing["M_q"], jnp.float32)
     M_b = jnp.asarray(ing["M_b"], jnp.float32)
     A = jnp.asarray(ing["A"], jnp.float32)
-    rho = jnp.float32(rho_f)
-
-    def _solve(x0, xr, ur, init, fixed_iters):
-        if fixed_iters is not None:
-            raise ValueError("fixed_iters is not supported by the fused "
-                             "backend; use backend='dense'")
-        Bsz = x0.shape[0]
-        q_ref = _q_ref(ing, xr, ur, jnp.float32)
-        b0 = -(x0 @ A.T)
-        if init is None:
-            v0 = jnp.zeros((Bsz, nz), jnp.float32)
-            lam0 = jnp.zeros((Bsz, nz), jnp.float32)
-        else:
-            _, v0, lam0 = init
-        # peeled first equality-QP solve (the delta-form entry point)
-        z1 = (q_ref + lam0 - rho * v0) @ M_q.T + b0 @ M_b.T
-
-        Bp = _round_up(Bsz, tile_b)
-        pad_cfg = ((0, Bp - Bsz), (0, nzp - nz))
-        z1p = jnp.pad(z1, pad_cfg)
-        v0p = jnp.pad(v0, pad_cfg)
-        lam0p = jnp.pad(lam0, pad_cfg)
-        z, v, lam, k, e_flag, r_p, r_d = fused_admm_solve(
-            z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
-            rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
-            tile_b=tile_b, bf16=bf16,
-            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
-            check_every=int(opt.solver.get("check_every", 1)),
-            interpret=interpret)
-        return SolveResult(
-            u=v[:Bsz, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
-            sol=dict(z=z[:Bsz, :nz], v=v[:Bsz, :nz], lam=lam[:Bsz, :nz],
-                     r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
-
+    _solve = build_fused_box_admm_solve(
+        ing, opt, dtype,
+        make_q_ref=lambda x0, xr, ur: _q_ref(ing, xr, ur, jnp.float32),
+        make_aux_b=lambda x0, xr, ur: (-(x0 @ A.T)) @ M_b.T,
+        u_start=0)
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz,
-                         dtype=jnp.float32)
+                         dtype=dtype)

@@ -231,7 +231,9 @@ def build_mpct_eadmm(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_pf", "r_z2", "r_z3"))
+                history_keys=("r_pf", "r_z2", "r_z3")
+                + (("z1", "z2", "z3", "lam")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)
@@ -396,10 +398,7 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
     def _solve(x0, xr, ur, init, fixed_iters):
         # per-stage linear cost [0; -(T/N) xr; 0; -(S/N) ur]
         # (spcies_MPCT_ADMM_cs_solver.m:172 with vars.Tz = -T/N)
-        qstage = jnp.concatenate(
-            [jnp.zeros_like(x0), -(xr @ T.T) / N,
-             jnp.zeros_like(ur), -(ur @ S.T) / N], axis=-1)
-        q_ref = jnp.tile(qstage, (1, N))
+        q_ref = _cs_q_ref(x0, xr, ur)
         z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
             make_z_step(x0), proj, q_ref, rho, rho_i, tol, tol, k_max,
             batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
@@ -647,7 +646,9 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
         if opt.debug:
             state, k, e_flag, hist = run_masked_loop(
                 body, state0, k_max, Bsz, fixed_iters=fixed_iters,
-                history_keys=("r_p", "r_d"))
+                history_keys=("r_p", "r_d")
+                + (("z", "v", "lam")
+                   if int(opt.debug) >= 2 else ()))
         else:
             state, k, e_flag = run_masked_loop(body, state0, k_max, Bsz,
                                                fixed_iters=fixed_iters)

@@ -158,8 +158,11 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
 
         def body_f(carry):
             it, done, k, z_next, v, lam, rp, rd = carry
+            # clamp the block so the total iteration count never exceeds
+            # k_max (k_max need not be divisible by check_every)
+            n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
             z_next, v, lam = jax.lax.fori_loop(
-                0, check_every - 1, fast_body, (z_next, v, lam))
+                0, n_fast, fast_body, (z_next, v, lam))
             # checked iteration
             zc = z_next
             v_prev = v
@@ -184,11 +187,11 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                 zn = zc + jax.lax.dot(dq, mq,
                                       preferred_element_type=jnp.float32)
             a = 1.0 - done
-            k_out = k + a * float(check_every)
+            k_out = k + a * (n_fast + 1).astype(jnp.float32)
             rp_out = a * r_p + done * rp
             rd_out = a * r_d + done * rd
             done_out = jnp.maximum(done, a * conv)
-            return (it + check_every, done_out, k_out, zn, v_new, lam_new,
+            return (it + n_fast + 1, done_out, k_out, zn, v_new, lam_new,
                     rp_out, rd_out)
 
         _it, done, k, z_next_f, v, lam, rp, rd = jax.lax.while_loop(

@@ -78,6 +78,12 @@ def admm_solve(
     (z* = v*), usually fewer iterations.
     """
     alpha = float(relax_alpha)
+    if int(history) >= 2 and not freeze_converged:
+        raise ValueError(
+            "genHist level 2 (full iterate traces) requires "
+            "freeze_converged=True — free-running lanes keep iterating "
+            "past their recorded exit, so the traces would not match the "
+            "returned per-lane solutions")
     if init is None:
         zeros = jnp.zeros((batch, nz), dtype=dtype)
         z0, v0, lam0 = zeros, zeros, zeros

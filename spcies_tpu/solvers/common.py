@@ -42,5 +42,6 @@ def hist_sol_entries(hist):
         return {}
     names = {"r_p": "hRp", "r_d": "hRd", "res": "hRes",
              "z": "hZ", "z_next": "hZ", "v": "hV", "lam": "hLam",
-             "s": "hS", "mu": "hMu"}
+             "s": "hS", "mu": "hMu",
+             "z1": "hZ1", "z2": "hZ2", "z3": "hZ3"}
     return {names.get(k, "h" + k): v for k, v in hist.items()}

@@ -443,3 +443,46 @@ def test_dispatcher_rejects_unknown(base):
     sys, param, _ = base
     with pytest.raises(ValueError):
         generate_embedded_solver(sys, param, formulation="noMPC")
+
+
+def test_c_equmpc_engineering_units(base, outdir):
+    """equMPC + in_engineering C generation (regression: the ingredients
+    must carry the scaling fields)."""
+    from spcies_tpu.codegen import generate_c_solver
+    sys, param, st = base
+    n, m = len(st["x"]), len(st["ur"])
+    # operating-point offsets exercise the scale/de-scale path without
+    # changing the (already feasible) incremental problem's conditioning
+    x_op, u_op = 0.01 * np.ones(n), 0.02 * np.ones(m)
+    sys = dict(sys, Nx=np.ones(n), Nu=np.ones(m), x0=x_op, u0=u_op)
+    p = dict(param)
+    p.pop("T", None)
+    opt = sp.default_options("equMPC", "ADMM", rho=15.0, tol=1e-7,
+                             k_max=5000)
+    opt.in_engineering = True
+    generate_c_solver(sys, p, formulation="equMPC", options=opt,
+                      directory=outdir, save_name="equmpc_eng")
+    s_jax = sp.make_solver(sys, p, formulation="equMPC", method="ADMM",
+                           options=opt)
+    c = CompiledCSolver("equmpc_eng", n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                        directory=outdir)
+    x0 = np.asarray(st["x"]) * 0.5 + x_op
+    u_c, k_c, e_c, sol_c = c(x0, st["xr"] + x_op, st["ur"] + u_op)
+    r = s_jax(x0, st["xr"] + x_op, st["ur"] + u_op)
+    assert e_c == int(r.e_flag[0]) == 1
+    assert k_c == int(r.k[0])
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+def test_float_rejected_outside_supported_family(base, outdir):
+    """precision='float' must raise (not silently emit double) for
+    generators without single-precision support."""
+    from spcies_tpu.codegen import generate_c_mpct_cs_solver
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    opt = sp.default_options("MPCT", "ADMM", "cs", tol=1e-4, k_max=100)
+    opt.precision = "float"
+    with pytest.raises(NotImplementedError):
+        generate_c_mpct_cs_solver(sys, p, options=opt, directory=outdir)

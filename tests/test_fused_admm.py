@@ -146,3 +146,20 @@ def test_fused_generalizes_to_other_box_admm(fixture, formulation):
     np.testing.assert_array_equal(np.asarray(rf.e_flag),
                                   np.asarray(rd.e_flag))
     assert np.max(np.abs(np.asarray(rf.u) - np.asarray(rd.u))) < 1e-6
+
+
+def test_fused_check_every_respects_k_max(fixture):
+    """check_every blocks are clamped at k_max: no lane reports k > k_max
+    and non-converging runs execute exactly k_max iterations."""
+    sys, param, st = fixture
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-14,
+                              k_max=10, pallas_interpret=True, tile_b=8,
+                              check_every=8)
+    opts.precision = "float"
+    s = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       backend="fused", options=opts)
+    B = 8
+    x0 = np.tile(np.asarray(st["x"]) * 2.0, (B, 1))
+    res = s(x0, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1)))
+    assert np.all(np.asarray(res.e_flag) == -1)
+    assert np.all(np.asarray(res.k) <= 10)
