@@ -18,7 +18,8 @@ Public API:
 
 __version__ = "0.1.0"
 
-from spcies_tpu.config import (Options, default_options, SOLVER_REGISTRY,
+from spcies_tpu.config import (Options, Problem, default_options,
+                               SOLVER_REGISTRY,
                                determine_formulation)
 from spcies_tpu.api import make_solver
 from spcies_tpu import systems
@@ -32,6 +33,7 @@ from spcies_tpu import utils
 __all__ = [
     "__version__",
     "Options",
+    "Problem",
     "default_options",
     "SOLVER_REGISTRY",
     "determine_formulation",

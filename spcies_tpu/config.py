@@ -205,3 +205,41 @@ def determine_formulation(param: dict) -> str:
         "MPC formulation not recognized from the given param fields; "
         "specify formulation= explicitly "
         "(+sp_utils/determine_formulation.m:46-48)")
+
+
+@dataclasses.dataclass
+class Problem:
+    """The 'recipe' object bundling a plant, problem parameters and options
+    (reference classes/Spcies_problem.m:13-33). make_solver accepts the
+    same pieces directly; this class exists for workflows that build and
+    pass recipes around (e.g. generating several platforms from one
+    definition)."""
+
+    sys: dict
+    param: dict
+    options: Options = dataclasses.field(default_factory=Options)
+
+    def copy(self) -> "Problem":
+        """Deep-ish copy (Spcies_problem.copy): fresh dicts and a fresh
+        Options so mutations don't leak between recipes."""
+        return Problem(sys=dict(self.sys), param=dict(self.param),
+                       options=dataclasses.replace(
+                           self.options, solver=dict(self.options.solver)))
+
+    def solver(self, **kw):
+        """Build the TPU solver for this recipe (make_solver arm)."""
+        from spcies_tpu.api import make_solver
+        return make_solver(self.sys, self.param,
+                           formulation=self.options.formulation,
+                           method=self.options.method,
+                           submethod=self.options.submethod,
+                           options=self.options, **kw)
+
+    def generate_c(self, **kw):
+        """Generate the embedded plain-C solver for this recipe
+        (spcies_gen_controller C-platform arm)."""
+        from spcies_tpu.codegen import generate_embedded_solver
+        return generate_embedded_solver(
+            self.sys, self.param, formulation=self.options.formulation,
+            method=self.options.method, submethod=self.options.submethod,
+            options=self.options, **kw)

@@ -181,3 +181,23 @@ def test_sp_utils_parity():
     b = rng.standard_normal(7)
     np.testing.assert_allclose(linalg.ldl_solve(L, d, b),
                                np.linalg.solve(W, b), atol=1e-10)
+
+
+def test_problem_recipe(tmp_path):
+    """Problem recipe (Spcies_problem.m analogue): bundles sys/param/
+    options, copy() isolates mutations, and both build arms work."""
+    sys, param, st = sp.systems.tester_fixture()
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=500)
+    prob = sp.Problem(sys=dict(sys), param=dict(param), options=opt)
+    p2 = prob.copy()
+    p2.options.solver["rho"] = 99.0
+    p2.param["N"] = 5
+    assert prob.options.solver["rho"] == 15.0 and prob.param["N"] != 5
+
+    s = prob.solver()
+    res = s(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
+
+    c_path = prob.generate_c(directory=str(tmp_path), compile=False)
+    assert c_path.endswith(".c") and os.path.exists(c_path)
