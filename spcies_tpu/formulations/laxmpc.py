@@ -323,6 +323,7 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
             z_from_y_f(q_ref), resid_f(b), w_solve,
             tol=tol, k_max=k_max, batch=Bsz, nlam=N * n, dtype=dtype,
             lam_init=lam_init, fixed_iters=fixed_iters,
+            restart=bool(opt.solver.get("restart", False)),
             history=opt.debug)
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, lam=y, res=res,
@@ -549,7 +550,8 @@ def _tv_fista_solver(sys, param, opt, *, terminal: bool):
         z, y, lam, k, e_flag, res, hist = fista_solve(
             z_from_y, resid, w_solve, tol=tol, k_max=k_max, batch=Bsz,
             nlam=N * n, dtype=dtype, lam_init=lam_init,
-            fixed_iters=fixed_iters)
+            fixed_iters=fixed_iters,
+            restart=bool(opt.solver.get("restart", False)))
         return SolveResult(u=z[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, lam=y, res=res,
                                     **hist_sol_entries(hist)))

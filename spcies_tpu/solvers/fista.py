@@ -47,6 +47,11 @@ def fista_solve(
     lam_init=None,
     fixed_iters: int | None = None,
     history: bool = False,
+    restart: bool = False,     # adaptive restart (O'Donoghue & Candes):
+                               # reset the momentum (t = 1) on lanes whose
+                               # dual residual increased. Opt-in — the
+                               # reference has no restart, so iterate
+                               # parity requires False.
 ):
     """Run batched dual FISTA; returns (z, y, lam, k, e_flag, res)."""
     lam = (jnp.zeros((batch, nlam), dtype=dtype) if lam_init is None
@@ -70,8 +75,14 @@ def fista_solve(
         conv = res <= tol
         # momentum block, masked off on the converging iteration
         lam_new = state["y"] + w_solve(r)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state["t"] ** 2))
-        coef = ((state["t"] - 1.0) / t_new)[:, None]
+        t_cur = state["t"]
+        if restart:
+            # residual-increase restart: drop the momentum back to a plain
+            # gradient step on lanes that overshot
+            t_cur = jnp.where(res > state["res"], jnp.ones_like(t_cur),
+                              t_cur)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t_cur ** 2))
+        coef = ((t_cur - 1.0) / t_new)[:, None]
         y_new = lam_new + coef * (lam_new - state["lam"])
         keep = conv[:, None]
         lam_out = jnp.where(keep, state["lam"], lam_new)

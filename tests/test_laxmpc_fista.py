@@ -71,3 +71,21 @@ def test_nondiagonal_T_rejected(fixture):
     param["T"] = T
     with pytest.raises(ValueError, match="diagonal"):
         sp.make_solver(sys, param, formulation="laxMPC", method="FISTA")
+
+
+def test_adaptive_restart(fixture):
+    """restart=True (adaptive momentum restart, opt-in — no reference
+    counterpart) converges to the same optimum; never slower on the
+    fixture, and exact reference iterates are preserved at the default."""
+    sys, param, st = fixture
+    s_plain = sp.make_solver(sys, param, formulation="laxMPC",
+                             method="FISTA", tol=1e-7, k_max=10000)
+    s_rst = sp.make_solver(sys, param, formulation="laxMPC",
+                           method="FISTA", tol=1e-7, k_max=10000,
+                           restart=True)
+    x0 = np.asarray(st["x"]) * 1.5
+    rp = s_plain(x0, st["xr"], st["ur"])
+    rr = s_rst(x0, st["xr"], st["ur"])
+    assert int(rp.e_flag[0]) == int(rr.e_flag[0]) == 1
+    assert int(rr.k[0]) <= int(rp.k[0])
+    assert np.max(np.abs(np.asarray(rr.u[0]) - np.asarray(rp.u[0]))) < 1e-5
