@@ -27,5 +27,36 @@ def main():
           " last solve:", k, "iters,", round(sol["run_time_ms"], 3), "ms")
 
 
+
+
+def embedded_tour():
+    """Every solver triple has an embedded-C path through the unified
+    dispatcher; also build the pure-C closed-loop executable
+    (main_cl_in_C.c analogue)."""
+    import subprocess
+    import tempfile
+    from spcies_tpu.codegen import generate_embedded_solver, generate_cl_demo
+
+    sys, param, st = sp.systems.tester_fixture()
+    d = tempfile.mkdtemp(prefix="spcies_c_")
+
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    path = generate_embedded_solver(sys, p, formulation="MPCT",
+                                    method="ADMM", submethod="cs",
+                                    directory=d, tol=1e-5, k_max=2000)
+    print("MPCT-ADMM-cs C:", path)
+
+    p2 = dict(param)
+    p2["T"] = np.diag(np.sum(np.asarray(p2["T"]), axis=1))
+    exe = generate_cl_demo(sys, p2, formulation="laxMPC",
+                           x_init=np.asarray(st["x"]) * 3.0, steps=10,
+                           directory=d, rho=15.0, tol=1e-5, k_max=2000)
+    out = subprocess.run([exe], capture_output=True, text=True, timeout=60)
+    print("pure-C closed loop:", out.stdout.strip().splitlines()[-1])
+
+
 if __name__ == "__main__":
     main()
+    embedded_tour()
