@@ -62,7 +62,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                        z_ref, v_ref, lam_ref, k_ref, done_ref,
                        rp_ref, rd_ref, red_scratch,
                        *, rho, rho_i, tol_p, tol_d, k_max, bf16,
-                       alpha=1.0, check_every=1):
+                       alpha=1.0, check_every=1, fixed_iters=0):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -128,30 +128,44 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         return (it + 1, done_out, k_out, z_out, zn_out, v_out, lam_out,
                 rp_out, rd_out)
 
+    def fast_body(_i, carry):
+        z_next_c, v_c, lam_c = carry
+        zc = z_next_c
+        v_prev = v_c
+        zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+        y = zr + rho_i * lam_c
+        v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+        lam_new = lam_c + rho * (zr - v_new)
+        dq = rho * (zr - 2.0 * v_new + v_prev)
+        if bf16:
+            zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                  mq.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            zn = zc + jax.lax.dot(dq, mq,
+                                  preferred_element_type=jnp.float32)
+        return (zn, v_new, lam_new)
+
+    if fixed_iters:
+        # benchmark mode: exactly fixed_iters plain iterations, no exit
+        # tests (run_masked_loop fixed_iters semantics)
+        z_next, v, lam = jax.lax.fori_loop(
+            0, fixed_iters, fast_body, (z_next, v, lam))
+        z_ref[:] = z_next
+        v_ref[:] = v
+        lam_ref[:] = lam
+        k_ref[:] = (lane0 + float(fixed_iters)).astype(jnp.int32)
+        done_ref[:] = (lane0 + 1.0).astype(jnp.int32)
+        rp_ref[:] = rbig
+        rd_ref[:] = rbig
+        return
+
     if check_every > 1:
         # free-running mode: `check_every - 1` plain iterations (no
         # reductions, no blending) then one checked iteration that only
         # updates the (tile_b, 1) done/k bookkeeping. Converged lanes keep
         # iterating (converging further) until the tile drains; k is
         # recorded at check granularity.
-        def fast_body(_i, carry):
-            z_next, v, lam = carry
-            zc = z_next
-            v_prev = v
-            zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
-            y = zr + rho_i * lam
-            v_new = jnp.minimum(jnp.maximum(y, lb), ub)
-            lam_new = lam + rho * (zr - v_new)
-            dq = rho * (zr - 2.0 * v_new + v_prev)
-            if bf16:
-                zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
-                                      mq.astype(jnp.bfloat16),
-                                      preferred_element_type=jnp.float32)
-            else:
-                zn = zc + jax.lax.dot(dq, mq,
-                                      preferred_element_type=jnp.float32)
-            return (zn, v_new, lam_new)
-
         def cond_f(carry):
             it, done, _k, _zn, _v, _lam, _rp, _rd = carry
             return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
@@ -216,6 +230,7 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
                      rho: float, tol_p: float, tol_d: float, k_max: int,
                      tile_b: int = 256, bf16: bool = False,
                      relax_alpha: float = 1.0, check_every: int = 1,
+                     fixed_iters: int = 0,
                      interpret: bool = False):
     """Run the fused ADMM loop. All arrays must already be lane-padded to a
     multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
@@ -229,7 +244,8 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
     kernel = functools.partial(
         _fused_admm_kernel, rho=float(rho), rho_i=float(1.0 / rho),
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16,
-        alpha=float(relax_alpha), check_every=int(check_every))
+        alpha=float(relax_alpha), check_every=int(check_every),
+        fixed_iters=int(fixed_iters or 0))
 
     tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -57,9 +57,6 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
 
     def _solve(*args):
         *inputs, init, fixed_iters = args
-        if fixed_iters is not None:
-            raise ValueError("fixed_iters is not supported by the fused "
-                             "backend; use backend='dense'")
         Bsz = inputs[0].shape[0]
         q_ref = make_q_ref(*inputs)
         aux_b = make_aux_b(*inputs)
@@ -79,7 +76,8 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
             z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
             rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
             tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
-            check_every=check_every, interpret=interpret)
+            check_every=check_every,
+            fixed_iters=int(fixed_iters or 0), interpret=interpret)
         return SolveResult(
             u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],
             sol=dict(z=z[:Bsz, :nz], v=v[:Bsz, :nz], lam=lam[:Bsz, :nz],

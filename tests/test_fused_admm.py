@@ -69,14 +69,30 @@ def test_fused_warm_start(fixture):
     assert int(warm.k[0]) < int(cold.k[0])
 
 
-def test_fused_rejects_fp64_and_fixed_iters(fixture):
+def test_fused_rejects_fp64(fixture):
     sys, param, st = fixture
     with pytest.raises(ValueError, match="fp32"):
         sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
                        backend="fused", rho=15.0)
-    s_f, _ = _solvers(sys, param)
-    with pytest.raises(ValueError, match="fixed_iters"):
-        s_f(st["x"], st["xr"], st["ur"], fixed_iters=10)
+
+
+def test_fused_fixed_iters_matches_dense(fixture):
+    """fixed_iters benchmark mode (no exit tests) runs the same iteration
+    sequence as the dense engine's fixed mode."""
+    sys, param, st = fixture
+    s_f, s_d = _solvers(sys, param)
+    B = 8
+    x0 = np.tile(np.asarray(st["x"]) * 1.3, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur, fixed_iters=50)
+    rd = s_d(x0, xr, ur, fixed_iters=50)
+    assert np.all(np.asarray(rf.k) == 50)
+    assert np.all(np.asarray(rf.e_flag) == 1)
+    for key in ("v", "lam"):
+        np.testing.assert_allclose(np.asarray(rf.sol[key]),
+                                   np.asarray(rd.sol[key]),
+                                   rtol=0, atol=1e-6)
 
 
 def test_fused_check_every_and_relaxation(fixture):
