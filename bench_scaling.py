@@ -4,8 +4,11 @@ mesh, batch sharded, collectives off the hot path.
 
 On real multi-chip hardware run as-is; without it, set
 XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu to
-validate the sharding path (absolute numbers are then CPU-bound and only
-the efficiency ratio is meaningful).
+validate the sharding path. CAUTION: virtual CPU "devices" share the
+host's physical cores, so on a virtual mesh even the efficiency ratio is
+bounded by core count, not by the sharding design — use it only to check
+that the sharded program compiles, executes and partitions correctly;
+efficiency claims require real chips.
 
 Prints one JSON line per mesh size.
 """
