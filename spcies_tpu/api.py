@@ -138,7 +138,15 @@ class BatchedSolver:
             inputs = self._to_incremental(inputs)
         inputs = broadcast_inputs(self.dtype, *inputs,
                                   core_ndims=self.input_core_ndims)
-        res = self._jitted(*inputs, init, fixed_iters)
+        # TPU's default matmul precision truncates fp32 operands to
+        # bfloat16; any solver matmul with O(1) operands (e.g. HMPC's
+        # z @ C') then floors the residual at ~1e-3 and the iteration
+        # never meets tol. Force full-f32 matmuls at trace time — the
+        # explicit bf16 fast paths (bf16_delta) cast their operands
+        # themselves and are unaffected.
+        import jax as _jax
+        with _jax.default_matmul_precision("highest"):
+            res = self._jitted(*inputs, init, fixed_iters)
         if self.options.in_engineering:
             # de-scale the control move (code_laxMPC_ADMM_C.c:642-651);
             # sol iterates stay in incremental units like the C DEBUG output

@@ -262,13 +262,119 @@ def _make_cone_proj(ing, dtype):
     return cone_proj
 
 
+def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np):
+    """'fused' backend for the single-split HMPC loop: the whole iteration
+    VMEM-resident (kernels/fused_hmpc.py) with the constraint rows
+    permuted into the segment layout [box | y0 | y1 | y2]."""
+    from spcies_tpu.kernels.fused_admm import _round_up
+    from spcies_tpu.kernels.fused_hmpc import fused_hmpc_solve
+
+    if opt.precision != "float":
+        raise ValueError("the fused backend is the fp32 production path; "
+                         "use backend='dense' for fp64 verification")
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    dim, n_s, n_box = ing["dim"], ing["n_s"], ing["n_box"]
+    use_soc = ing["use_soc"]
+    n_cones = ing["n_soc"] if use_soc else ing["n_y"]
+    tol_p = float(opt.solver["tol_p"])
+    tol_d = float(opt.solver["tol_d"])
+    k_max = int(opt.solver["k_max"])
+    rho_f = float(opt.solver["rho"])
+    tile_b = int(opt.solver.get("tile_b", 256))
+    check_every = int(opt.solver.get("check_every", 1))
+    interpret = bool(opt.solver.get("pallas_interpret", False))
+
+    dim_p = _round_up(dim, 128)
+    n_boxp = _round_up(max(n_box, 1), 128)
+    cp = _round_up(max(n_cones, 1), 128)
+    ns_p = n_boxp + 3 * cp
+
+    # permuted padded position of each original constraint row
+    pos = np.empty(n_s, dtype=np.int64)
+    pos[:n_box] = np.arange(n_box)
+    for c in range(n_cones):
+        pos[n_box + 3 * c + 0] = n_boxp + c
+        pos[n_box + 3 * c + 1] = n_boxp + cp + c
+        pos[n_box + 3 * c + 2] = n_boxp + 2 * cp + c
+
+    C_pp = np.zeros((ns_p, dim), dtype=np.float64)
+    C_pp[pos] = ing["C"]
+    d_pp = np.zeros((1, ns_p), dtype=np.float32)
+    d_pp[0, pos] = ing["d"]
+    blb = np.zeros((1, n_boxp), dtype=np.float32)
+    bub = np.zeros((1, n_boxp), dtype=np.float32)
+    if n_box:
+        blb[0, :n_box] = np.maximum(ing["box_LB"], -1e30)
+        bub[0, :n_box] = np.minimum(ing["box_UB"], 1e30)
+    lby = np.zeros((1, cp), dtype=np.float32)
+    uby = np.zeros((1, cp), dtype=np.float32)
+    if not use_soc:
+        lby[0, :n_cones] = ing["LBy"]
+        uby[0, :n_cones] = ing["UBy"]
+
+    CT_pad = np.zeros((dim_p, ns_p), dtype=np.float32)
+    CT_pad[:dim] = C_pp.T
+    MC_pad = np.zeros((ns_p, dim_p), dtype=np.float32)
+    MC_pad[:, :dim] = C_pp @ M1_np.T
+
+    CT_pad = jnp.asarray(CT_pad)
+    MC_pad = jnp.asarray(MC_pad)
+    d_pp = jnp.asarray(d_pp)
+    blb, bub = jnp.asarray(blb), jnp.asarray(bub)
+    lby, uby = jnp.asarray(lby), jnp.asarray(uby)
+    pos_j = jnp.asarray(pos)
+    M1 = jnp.asarray(M1_np, jnp.float32)
+    M2 = jnp.asarray(M2_np, jnp.float32)
+    C = jnp.asarray(ing["C"], jnp.float32)
+    d = jnp.asarray(ing["d"], jnp.float32)
+    A = jnp.asarray(ing["A"], jnp.float32)
+    rho = jnp.float32(rho_f)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        if fixed_iters is not None:
+            raise ValueError("fixed_iters is not supported by the fused "
+                             "HMPC backend; use backend='dense'")
+        Bsz = x0.shape[0]
+        q = _make_q(ing, x0, xr, ur, jnp.float32)
+        aux_b = (-(x0 @ A.T)) @ M2.T
+        if init is None:
+            s0 = jnp.zeros((Bsz, n_s), jnp.float32)
+            lam0 = jnp.zeros((Bsz, n_s), jnp.float32)
+        else:
+            _, s0, lam0 = init
+        z1 = (q + (rho * (s0 - d) + lam0) @ C) @ M1.T + aux_b
+
+        Bp = _round_up(Bsz, tile_b)
+        z1p = jnp.pad(z1, ((0, Bp - Bsz), (0, dim_p - dim)))
+        s0p = jnp.zeros((Bp, ns_p), jnp.float32).at[
+            :Bsz, pos_j].set(s0)
+        lam0p = jnp.zeros((Bp, ns_p), jnp.float32).at[
+            :Bsz, pos_j].set(lam0)
+        import jax as _jax
+        with _jax.default_matmul_precision("default"):
+            z, s_pad, lam_pad, k, e_flag, r_p, r_d = fused_hmpc_solve(
+                z1p, s0p, lam0p, CT_pad, MC_pad, d_pp, blb, bub, lby, uby,
+                rho=rho_f, tol_p=tol_p, tol_d=tol_d, k_max=k_max,
+                use_soc=use_soc, n_boxp=n_boxp, cp=cp, tile_b=tile_b,
+                check_every=check_every, interpret=interpret)
+        s_out = jnp.take(s_pad[:Bsz], pos_j, axis=1)
+        lam_out = jnp.take(lam_pad[:Bsz], pos_j, axis=1)
+        return SolveResult(
+            u=z[:Bsz, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
+            sol=dict(z=z[:Bsz, :dim], s=s_out, lam=lam_out,
+                     r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
+                         dtype=jnp.float32)
+
+
 @register_builder("HMPC", "ADMM")
 def build_hmpc_admm(sys: dict, param: dict, opt: Options,
                     backend: str = "dense") -> BatchedSolver:
     """Single-split ("reduced") HMPC ADMM
     (spcies_HMPC_ADMM_solver.m:125-198, code_HMPC_ADMM_C.c)."""
-    if backend not in ("dense",):
-        raise ValueError("HMPC/ADMM has a dense backend")
+    if backend not in ("dense", "fused"):
+        raise ValueError("HMPC/ADMM has dense and fused backends")
     ing = hmpc_common_ingredients(sys, param, opt, split=False)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N = ing["n"], ing["m"], ing["N"]
@@ -287,6 +393,9 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
     Winv = np.linalg.inv(W)
     M1_np = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
     M2_np = (Hhi @ G.T @ Winv)[:, :n]
+
+    if backend == "fused":
+        return _build_hmpc_admm_fused(ing, opt, M1_np, M2_np)
 
     M1 = jnp.asarray(M1_np, dtype)
     M2 = jnp.asarray(M2_np, dtype)

@@ -111,10 +111,12 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         if bf16:
             zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
                                   mq.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         else:
             zn = zc + jax.lax.dot(dq, mq,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         a = 1.0 - done                      # active mask, f32 {0, 1}
         na = done
         z_out = a * zc + na * z
@@ -140,10 +142,12 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         if bf16:
             zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
                                   mq.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         else:
             zn = zc + jax.lax.dot(dq, mq,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT)
         return (zn, v_new, lam_new)
 
     if fixed_iters:

@@ -72,12 +72,14 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
         z1p = jnp.pad(z1, pad_cfg)
         v0p = jnp.pad(v0, pad_cfg)
         lam0p = jnp.pad(lam0, pad_cfg)
-        z, v, lam, k, e_flag, r_p, r_d = fused_admm_solve(
-            z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
-            rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
-            tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
-            check_every=check_every,
-            fixed_iters=int(fixed_iters or 0), interpret=interpret)
+        import jax as _jax
+        with _jax.default_matmul_precision("default"):
+            z, v, lam, k, e_flag, r_p, r_d = fused_admm_solve(
+                z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
+                rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
+                tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
+                check_every=check_every,
+                fixed_iters=int(fixed_iters or 0), interpret=interpret)
         return SolveResult(
             u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],
             sol=dict(z=z[:Bsz, :nz], v=v[:Bsz, :nz], lam=lam[:Bsz, :nz],

@@ -101,3 +101,35 @@ def test_batched_masking(fixture):
         np.testing.assert_allclose(np.asarray(batched.sol["z"][i]),
                                    np.asarray(solo.sol["z"][0]),
                                    rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_fused_backend_matches_dense(fixture, use_soc):
+    """backend='fused' (VMEM-resident segment-layout kernel,
+    kernels/fused_hmpc.py): same per-lane iteration counts as the dense
+    engine and fp32-roundoff iterate agreement (interpret mode)."""
+    sys, param, st = fixture
+    kw = dict(rho=2.0, sigma=20.0, tol_p=1e-5, tol_d=1e-5, k_max=2000,
+              use_soc=use_soc)
+    o = sp.default_options("HMPC", "ADMM", pallas_interpret=True,
+                           tile_b=8, **kw)
+    o.precision = "float"
+    s_f = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                         backend="fused", options=o)
+    od = sp.default_options("HMPC", "ADMM", **kw)
+    od.precision = "float"
+    s_d = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                         options=od)
+    B = 8
+    rng = np.random.default_rng(7)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    assert np.all(np.asarray(rf.e_flag) == 1)
+    for key in ("z", "s", "lam"):
+        gap = np.max(np.abs(np.asarray(rf.sol[key])
+                            - np.asarray(rd.sol[key])))
+        assert gap < 1e-4, (key, gap)
