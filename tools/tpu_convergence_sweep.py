@@ -1,0 +1,65 @@
+"""TPU fp32 convergence sweep across every engine family.
+
+Run ON THE REAL TPU after any solver-engine or kernel change: CPU tests
+cannot catch hardware-only numerics issues (e.g. the default-matmul-
+precision bf16 truncation fixed in commit eff0082). Expected output: every
+family at conv=1.000 and ALL CONVERGED.
+
+    python tools/tpu_convergence_sweep.py
+"""
+import numpy as np
+import jax.numpy as jnp
+import spcies_tpu as sp
+
+sys_, param, st = sp.systems.tester_fixture()
+B = 256
+rng = np.random.default_rng(5)
+x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
+xr = np.tile(st["xr"], (B, 1)); ur = np.tile(st["ur"], (B, 1))
+
+def check(name, solver, *args):
+    r = solver(*args)
+    conv = float(np.mean(np.asarray(r.e_flag) == 1))
+    print(f"{name:28s} conv={conv:.3f}  k_mean={float(np.mean(np.asarray(r.k))):7.1f}")
+    return conv
+
+def opts(f, m, sm="", **kw):
+    o = sp.default_options(f, m, sm, **kw)
+    o.precision = "float"
+    return o
+
+results = []
+pT = dict(param); pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+results.append(check("laxMPC-FISTA", sp.make_solver(
+    sys_, pT, formulation="laxMPC", method="FISTA",
+    options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur))
+pE = dict(param); pE.pop("T", None)
+results.append(check("equMPC-FISTA", sp.make_solver(
+    sys_, pE, formulation="equMPC", method="FISTA",
+    options=opts("equMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur))
+pM = dict(param); pM["T"] = 10.0 * np.asarray(param["Q"]); pM["S"] = np.asarray(param["R"]).copy()
+results.append(check("MPCT-EADMM", sp.make_solver(
+    sys_, pM, formulation="MPCT", method="EADMM",
+    options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0, tol=1e-4,
+                 k_max=5000)), x0, xr, ur))
+results.append(check("MPCT-ADMM-semiband", sp.make_solver(
+    sys_, pM, formulation="MPCT", method="ADMM", submethod="semiband",
+    options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=1e-4,
+                 tol_d=1e-4, k_max=5000)), x0, xr, ur))
+pC = dict(param)
+pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+pC["P"] = np.eye(6); pC["c"] = np.asarray(st["xr"]); pC["r"] = 0.5
+results.append(check("ellipMPC-ADMM-soc", sp.make_solver(
+    sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
+    options=opts("ellipMPC", "ADMM", "soc", rho=15.0, sigma=10.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)),
+    x0, xr, ur, np.tile([0.5], (B, 1))))
+pH = dict(param); pH.pop("T", None)
+pH["w"] = 3 * 1.627 * 0.2
+pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"]); pH["Th"] = pH["Te"]
+pH["Se"] = np.asarray(pH["R"]).copy(); pH["Sh"] = 0.5 * pH["Se"]
+results.append(check("HMPC-SADMM-split", sp.make_solver(
+    sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
+    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur))
+print("ALL CONVERGED" if all(c == 1.0 for c in results) else "FAILURES")
