@@ -36,7 +36,8 @@ from spcies_tpu.formulations import stagewise
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box, proj_ellipsoid, proj_soc
 from spcies_tpu.solvers.common import (SolveResult, inf_norm,
-                                        hist_sol_entries)
+                                        hist_sol_entries,
+                                        delta_dot)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -379,7 +380,7 @@ def build_ellipmpc_admm_soc(sys: dict, param: dict, opt: Options,
             dq = jnp.concatenate(
                 [sigma * (z_hat - 2.0 * z + z_old),
                  rho * (s_hat - 2.0 * s + s_old)], axis=-1)
-            aux_next = aux + dq @ M1.T
+            aux_next = aux + delta_dot(dq, M1.T)
             return (dict(aux=aux, aux_next=aux_next, z=z, s=s,
                          lam=lam_new, mu=mu_new, r_p=r_p, r_d=r_d), conv)
 

@@ -25,7 +25,8 @@ from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
 from spcies_tpu.solvers.common import (SolveResult,
-                                        hist_sol_entries)
+                                        hist_sol_entries,
+                                        delta_dot)
 from spcies_tpu.api import BatchedSolver
 
 
@@ -131,7 +132,7 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
 
         def make_z_step(b0, xr):
             if b0 is None:
-                return lambda dq: dq @ M_q.T
+                return lambda dq: delta_dot(dq, M_q.T)
             def z_step(q_hat):
                 return q_hat @ M_q.T + b0 @ M_b0.T + xr @ M_bN.T
             return z_step

@@ -32,7 +32,8 @@ from spcies_tpu.formulations.base import (register_builder, get_sys_matrices,
 from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import (proj_box, proj_soc, proj_diamond)
 from spcies_tpu.solvers.common import (SolveResult, inf_norm,
-                                        hist_sol_entries)
+                                        hist_sol_entries,
+                                        delta_dot)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -443,8 +444,8 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
             r_d = inf_norm(s - s_old)
             conv = (r_p <= tol_p) & (r_d <= tol_d)
             # delta-form: dq_hat = C'(rho ds + dlam); both terms -> 0
-            dq = (rho * (s - s_old) + rho * resid) @ C
-            z_next = z + dq @ M1.T
+            dq = delta_dot(rho * (s - s_old) + rho * resid, C)
+            z_next = z + delta_dot(dq, M1.T)
             return (dict(z=z, z_next=z_next, s=s, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
@@ -575,7 +576,7 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
             dq = jnp.concatenate(
                 [-sigma * (z - z_old) + (lam_new - lam_at_aux),
                  (mu_new - mu_at_aux) - rho * (s - s_old)], axis=-1)
-            aux_next = aux + dq @ M1.T
+            aux_next = aux + delta_dot(dq, M1.T)
             return (dict(aux=aux, aux_next=aux_next, z=z, s=s,
                          lam=lam_new, mu=mu_new, r_p=r_p, r_d=r_d), conv)
 
@@ -711,8 +712,8 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
             r_p = inf_norm(resid)
             r_d = inf_norm(s - s_old)
             conv = (r_p <= tol_p) & (r_d <= tol_d)
-            dq = (rho * (s - s_old) + rho * resid) @ C
-            z_next = z + dq @ M1.T
+            dq = delta_dot(rho * (s - s_old) + rho * resid, C)
+            z_next = z + delta_dot(dq, M1.T)
             return (dict(z=z, z_next=z_next, s=s, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 

@@ -30,7 +30,8 @@ from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
 from spcies_tpu.solvers.common import (SolveResult,
-                                        hist_sol_entries)
+                                        hist_sol_entries,
+                                        delta_dot)
 from spcies_tpu.api import BatchedSolver, broadcast_inputs
 
 
@@ -154,7 +155,7 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                     return lambda dq: jax.lax.dot(
                         dq.astype(jnp.bfloat16), M_q_bf.T,
                         preferred_element_type=jnp.float32)
-                return lambda dq: dq @ M_q.T
+                return lambda dq: delta_dot(dq, M_q.T)
             def z_step(q_hat):
                 return q_hat @ M_q.T + b0 @ M_b.T
             return z_step

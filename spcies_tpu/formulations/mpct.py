@@ -29,7 +29,8 @@ from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import proj_box
 from spcies_tpu.solvers.admm import admm_solve
 from spcies_tpu.solvers.common import (SolveResult, inf_norm,
-                                        hist_sol_entries)
+                                        hist_sol_entries,
+                                        delta_dot)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -373,7 +374,7 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
 
     def make_z_step(x0):
         if x0 is None:
-            return lambda dq: dq @ M_q.T
+            return lambda dq: delta_dot(dq, M_q.T)
         return lambda q_hat: q_hat @ M_q.T + x0 @ M_b.T
 
     def _cs_q_ref(x0, xr, ur):
@@ -639,7 +640,7 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
             conv = (r_p <= tol_p) & (r_d <= tol_d)
             # delta-form: dp = C~'(dlam - rho dv) = C~'(rho(zt - 2v + v_prev))
             dp = ct_t_apply(rho * (zt - 2.0 * v + v_prev))
-            z_next = z + dp @ M_q.T
+            z_next = z + delta_dot(dp, M_q.T)
             return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 

@@ -45,3 +45,12 @@ def hist_sol_entries(hist):
              "s": "hS", "mu": "hMu",
              "z1": "hZ1", "z2": "hZ2", "z3": "hZ3"}
     return {names.get(k, "h" + k): v for k, v in hist.items()}
+
+
+def delta_dot(x, M):
+    """x @ M at DEFAULT (single-pass) matmul precision — for delta-form
+    products whose operands shrink to zero with the residual, where the
+    truncation error vanishes (see the solver-level highest-precision
+    wrap in api.BatchedSolver.__call__; commit eff0082)."""
+    import jax
+    return jax.lax.dot(x, M, precision=jax.lax.Precision.DEFAULT)

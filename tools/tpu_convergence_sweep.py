@@ -7,6 +7,11 @@ family at conv=1.000 and ALL CONVERGED.
 
     python tools/tpu_convergence_sweep.py
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 import spcies_tpu as sp
