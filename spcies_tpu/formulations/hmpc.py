@@ -263,10 +263,14 @@ def _make_cone_proj(ing, dtype):
     return cone_proj
 
 
-def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np):
-    """'fused' backend for the single-split HMPC loop: the whole iteration
-    VMEM-resident (kernels/fused_hmpc.py) with the constraint rows
-    permuted into the segment layout [box | y0 | y1 | y2]."""
+def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np, make_q=None,
+                           input_names=None, lby_arr=None, uby_arr=None):
+    """'fused' backend for the single-split cone-ADMM loop (HMPC and
+    ellipHMPC): the whole iteration VMEM-resident (kernels/fused_hmpc.py)
+    with the constraint rows permuted into the segment layout
+    [box | y0 | y1 | y2]. make_q(*refs) overrides the linear-cost builder
+    (ellipHMPC's 7-input decomposed references); lby_arr/uby_arr override
+    the D-set bounds (ellipHMPC's sigma-tightened outputs)."""
     from spcies_tpu.kernels.fused_admm import _round_up
     from spcies_tpu.kernels.fused_hmpc import fused_hmpc_solve
 
@@ -310,8 +314,8 @@ def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np):
     lby = np.zeros((1, cp), dtype=np.float32)
     uby = np.zeros((1, cp), dtype=np.float32)
     if not use_soc:
-        lby[0, :n_cones] = ing["LBy"]
-        uby[0, :n_cones] = ing["UBy"]
+        lby[0, :n_cones] = ing["LBy"] if lby_arr is None else lby_arr
+        uby[0, :n_cones] = ing["UBy"] if uby_arr is None else uby_arr
 
     CT_pad = np.zeros((dim_p, ns_p), dtype=np.float32)
     CT_pad[:dim] = C_pp.T
@@ -331,12 +335,17 @@ def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np):
     A = jnp.asarray(ing["A"], jnp.float32)
     rho = jnp.float32(rho_f)
 
-    def _solve(x0, xr, ur, init, fixed_iters):
+    def _solve(*args):
+        *inputs, init, fixed_iters = args
         if fixed_iters is not None:
             raise ValueError("fixed_iters is not supported by the fused "
                              "HMPC backend; use backend='dense'")
+        x0 = inputs[0]
         Bsz = x0.shape[0]
-        q = _make_q(ing, x0, xr, ur, jnp.float32)
+        if make_q is None:
+            q = _make_q(ing, *inputs, jnp.float32)
+        else:
+            q = make_q(*inputs)
         aux_b = (-(x0 @ A.T)) @ M2.T
         if init is None:
             s0 = jnp.zeros((Bsz, n_s), jnp.float32)
@@ -365,8 +374,10 @@ def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np):
             sol=dict(z=z[:Bsz, :dim], s=s_out, lam=lam_out,
                      r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
 
+    kw = ({} if input_names is None
+          else dict(input_names=tuple(input_names)))
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
-                         dtype=jnp.float32)
+                         dtype=jnp.float32, **kw)
 
 
 @register_builder("HMPC", "ADMM")
@@ -634,8 +645,8 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
     (struct_ellipHMPC_ADMM_C_Matlab.c:27); (2) the D-set projections use
     sigma-tightened output bounds (vars.LBy/UBy,
     compute_ellipHMPC_ADMM_ingredients.m:230-231)."""
-    if backend not in ("dense",):
-        raise ValueError("ellipHMPC/ADMM has a dense backend")
+    if backend not in ("dense", "fused"):
+        raise ValueError("ellipHMPC/ADMM has dense and fused backends")
     if "E" not in sys:
         raise ValueError("ellipHMPC requires coupled-output matrices "
                          "sys['E'], sys['F'] and bounds LBy/UBy")
@@ -657,8 +668,33 @@ def build_elliphmpc_admm(sys: dict, param: dict, opt: Options,
     G = ing["G"]
     W = G @ Hhi @ G.T
     Winv = np.linalg.inv(W)
-    M1 = jnp.asarray(Hhi @ G.T @ Winv @ G @ Hhi - Hhi, dtype)
-    M2 = jnp.asarray((Hhi @ G.T @ Winv)[:, :n], dtype)
+    M1_np = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
+    M2_np = (Hhi @ G.T @ Winv)[:, :n]
+
+    if backend == "fused":
+        Qf = jnp.asarray(ing["Q"], jnp.float32)
+        Tef = jnp.asarray(ing["Te"], jnp.float32)
+        Thf = jnp.asarray(ing["Th"], jnp.float32)
+        Sef = jnp.asarray(ing["Se"], jnp.float32)
+        Shf = jnp.asarray(ing["Sh"], jnp.float32)
+        nsf = ing["ns"]
+
+        def make_q(x0, xre, xrs, xrc, ure, urs, urc):
+            Bsz = x0.shape[0]
+            qx0 = x0 @ Qf.T
+            return jnp.concatenate(
+                [jnp.zeros((Bsz, nsf), jnp.float32),
+                 -(xre @ Tef.T) - qx0, -(xrs @ Thf.T),
+                 -(xrc @ Thf.T) - qx0,
+                 -(ure @ Sef.T), -(urs @ Shf.T), -(urc @ Shf.T)], axis=-1)
+
+        return _build_hmpc_admm_fused(
+            ing, opt, M1_np, M2_np, make_q=make_q,
+            input_names=("x0", "xre", "xrs", "xrc", "ure", "urs", "urc"),
+            lby_arr=ing["LBy"] + sigma, uby_arr=ing["UBy"] - sigma)
+
+    M1 = jnp.asarray(M1_np, dtype)
+    M2 = jnp.asarray(M2_np, dtype)
     C = jnp.asarray(ing["C"], dtype)
     d = jnp.asarray(ing["d"], dtype)
     A = jnp.asarray(ing["A"], dtype)
