@@ -118,6 +118,127 @@ def ellipmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
     )
 
 
+def _ellipmpc_q_ref(ing, xr, ur, dtype):
+    """Linear cost q from the references (spcies_ellipMPC_ADMM_solver.m)."""
+    N = ing["N"]
+    Qd = jnp.asarray(ing["Qd"], dtype)
+    Rd = jnp.asarray(ing["Rd"], dtype)
+    T = jnp.asarray(ing["T"], dtype)
+    qu = -ur * Rd
+    mid = jnp.concatenate([-xr * Qd, qu], axis=-1)
+    return jnp.concatenate(
+        [qu, jnp.tile(mid, (1, N - 1)), -(xr @ T.T)], axis=-1)
+
+
+def _build_ellipmpc_admm_fused(ing, opt) -> BatchedSolver:
+    """'fused' backend: the whole ADMM loop VMEM-resident
+    (kernels/fused_ellip.py) in P_half-transformed coordinates, where the
+    P-norm ellipsoid projection is a Euclidean ball projection and the
+    dual/delta updates lose their per-iteration P matmuls."""
+    from spcies_tpu.kernels.fused_admm import _round_up
+    from spcies_tpu.kernels.fused_ellip import fused_ellip_solve
+
+    if opt.precision == "double":
+        raise ValueError("the fused backend is the fp32 production path; "
+                         "use backend='dense' for fp64 verification")
+    dtype = jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    ns = nz - n
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    rho_f = float(ing["rho"])
+    tile_b = int(opt.solver.get("tile_b", 256))
+    check_every = int(opt.solver.get("check_every", 1))
+    interpret = bool(opt.solver.get("pallas_interpret", False))
+
+    # offline fp64: M2 = S M_q S with S = blkdiag(I, P_half); the kernel's
+    # only per-iteration matmul (z' += rho dz' @ M2, row form — M2 is
+    # symmetric since M_q and S are; rho scales the vector in-kernel to
+    # match the dense engine's rounding order)
+    P_half_np = np.asarray(ing["P_half"], float)
+    Pinv_half_np = np.linalg.inv(P_half_np)
+    S = linalg.blkdiag(np.eye(ns), P_half_np)
+    M2 = S @ np.asarray(ing["M_q"], float) @ S
+
+    nzp = _round_up(nz, 128)
+    M2_pad = np.zeros((nzp, nzp), np.float32)
+    M2_pad[:nz, :nz] = M2.T
+    PINVH_pad = np.zeros((nzp, nzp), np.float32)
+    PINVH_pad[ns:nz, ns:nz] = Pinv_half_np.T
+    LB_pad = np.zeros((1, nzp), np.float32)
+    UB_pad = np.zeros((1, nzp), np.float32)
+    LB_pad[0, :ns] = np.maximum(ing["LB"], -1e30)
+    UB_pad[0, :ns] = np.minimum(ing["UB"], 1e30)
+    segT = np.zeros((1, nzp), np.float32)
+    segT[0, ns:nz] = 1.0
+    c_pad = np.zeros((1, nzp), np.float32)
+    c_pad[0, ns:nz] = P_half_np @ np.asarray(ing["c"], float)
+
+    M2_pad = jnp.asarray(M2_pad)
+    PINVH_pad = jnp.asarray(PINVH_pad)
+    LB_pad = jnp.asarray(LB_pad)
+    UB_pad = jnp.asarray(UB_pad)
+    segT_j = jnp.asarray(segT)
+    c_pad_j = jnp.asarray(c_pad)
+    M_q = jnp.asarray(ing["M_q"], dtype)
+    M_b = jnp.asarray(ing["M_b"], dtype)
+    A = jnp.asarray(ing["A"], dtype)
+    P = jnp.asarray(ing["P"], dtype)
+    P_half = jnp.asarray(P_half_np, dtype)
+    Pinv_half = jnp.asarray(Pinv_half_np, dtype)
+    rho = dtype(rho_f)
+
+    def _to_t(x):
+        """Original -> transformed coordinates (terminal block through
+        P_half)."""
+        return jnp.concatenate([x[:, :ns], x[:, ns:] @ P_half.T], axis=-1)
+
+    def _from_t(x):
+        return jnp.concatenate([x[:, :ns], x[:, ns:nz] @ Pinv_half.T],
+                               axis=-1)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        Bsz = x0.shape[0]
+        q_ref = _ellipmpc_q_ref(ing, xr, ur, dtype)
+        b0 = -(x0 @ A.T)
+        if init is None:
+            zeros = jnp.zeros((Bsz, nz), dtype)
+            v0, lam0 = zeros, zeros
+        else:
+            _, v0, lam0 = init
+        # peeled first equality-QP solve (dense-engine prologue; runs under
+        # the solver-level highest-precision context)
+        qs = q_ref[:, :ns] + lam0[:, :ns] - rho * v0[:, :ns]
+        qT = (q_ref[:, ns:] + lam0[:, ns:] @ P_half.T
+              - rho * (v0[:, ns:] @ P.T))
+        q_hat = jnp.concatenate([qs, qT], axis=-1)
+        z1 = q_hat @ M_q.T + b0 @ M_b.T
+
+        z1t = _to_t(z1)
+        v0t = _to_t(v0)
+        Bp = ((Bsz + tile_b - 1) // tile_b) * tile_b
+        pad = ((0, Bp - Bsz), (0, nzp - nz))
+        z1p = jnp.pad(z1t, pad)
+        v0p = jnp.pad(v0t, pad)
+        lam0p = jnp.pad(lam0, pad)
+        with jax.default_matmul_precision("default"):
+            z, v, lam, k, e_flag, r_p, r_d = fused_ellip_solve(
+                z1p, v0p, lam0p, M2_pad, PINVH_pad, LB_pad, UB_pad,
+                segT_j, c_pad_j, rho=rho_f, tol_p=tol, tol_d=tol,
+                k_max=k_max, r_ball=float(ing["r"]), tile_b=tile_b,
+                check_every=check_every,
+                fixed_iters=int(fixed_iters or 0), interpret=interpret)
+        z_o = _from_t(z[:Bsz])
+        v_o = _from_t(v[:Bsz])
+        return SolveResult(
+            u=v_o[:, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
+            sol=dict(z=z_o, v=v_o, lam=lam[:Bsz, :nz],
+                     r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz,
+                         dtype=dtype)
+
+
 @register_builder("ellipMPC", "ADMM")
 def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
                         backend: str = "dense") -> BatchedSolver:
@@ -137,6 +258,9 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
     Pinv_half = jnp.asarray(ing["Pinv_half"], dtype)
     c = jnp.asarray(ing["c"], dtype)
     r = dtype(ing["r"])
+
+    if backend == "fused":
+        return _build_ellipmpc_admm_fused(ing, opt)
 
     if backend == "dense":
         M_q = jnp.asarray(ing["M_q"], dtype)
@@ -160,19 +284,10 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    def _q_ref(xr, ur):
-        Qd = jnp.asarray(ing["Qd"], dtype)
-        Rd = jnp.asarray(ing["Rd"], dtype)
-        T = jnp.asarray(ing["T"], dtype)
-        qu = -ur * Rd
-        mid = jnp.concatenate([-xr * Qd, qu], axis=-1)
-        return jnp.concatenate(
-            [qu, jnp.tile(mid, (1, N - 1)), -(xr @ T.T)], axis=-1)
-
     def _solve(x0, xr, ur, init, fixed_iters):
         Bsz = x0.shape[0]
         b0 = -(x0 @ A.T)
-        q_ref = _q_ref(xr, ur)
+        q_ref = _ellipmpc_q_ref(ing, xr, ur, dtype)
         z_step = make_z_step(b0)
         z_lin = make_z_step(None)
 

@@ -120,3 +120,77 @@ def test_admm_batched_masking(admm_solver, fixture):
         np.testing.assert_allclose(np.asarray(batched.sol["z"][i]),
                                    np.asarray(solo.sol["z"][0]),
                                    rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# fused backend (kernels/fused_ellip.py, interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+FUSED_OPTS = dict(rho=15.0, tol=1e-4, k_max=5000)
+
+
+def _fused_pair(fixture, **extra):
+    sys, param, _ = fixture
+    opts = sp.default_options("ellipMPC", "ADMM", **FUSED_OPTS,
+                              pallas_interpret=True, tile_b=8, **extra)
+    opts.precision = "float"
+    s_f = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                         backend="fused", options=opts)
+    opts_d = sp.default_options("ellipMPC", "ADMM", **FUSED_OPTS)
+    opts_d.precision = "float"
+    s_d = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                         backend="dense", options=opts_d)
+    return s_f, s_d
+
+
+def test_fused_matches_dense(fixture):
+    """The transformed-coordinate kernel must track the dense fp32 engine:
+    identical iteration counts and iterates to f32 rounding-order noise
+    (the P_half re-coordinatization changes summation orders, so bit
+    equality is not expected — unlike the box-only fused kernel)."""
+    _, _, st = fixture
+    s_f, s_d = _fused_pair(fixture)
+    rng = np.random.default_rng(0)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    assert np.max(np.abs(np.asarray(rf.k) - np.asarray(rd.k))) <= 1
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rf.sol[key])
+                             - np.asarray(rd.sol[key]))) < 5e-4
+
+
+def test_fused_vs_golden(fixture):
+    """Fixed-point quality guard: the fused solve must land on the same
+    optimum as the fp64 golden vector (catches systematic in-kernel
+    precision drift shifting the ADMM fixed point)."""
+    _, _, st = fixture
+    s_f, _ = _fused_pair(fixture)
+    res = s_f(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
+    assert np.max(np.abs(np.asarray(res.sol["z"][0]) - Z_OPT)) <= 1e-2
+
+
+def test_fused_warm_start_and_check_every(fixture):
+    _, _, st = fixture
+    s_f, _ = _fused_pair(fixture)
+    cold = s_f(st["x"], st["xr"], st["ur"])
+    init = (cold.sol["z"], cold.sol["v"], cold.sol["lam"])
+    warm = s_f(st["x"], st["xr"], st["ur"], init=init)
+    assert int(warm.k[0]) < int(cold.k[0])
+    s_c, _ = _fused_pair(fixture, check_every=8)
+    rc = s_c(st["x"], st["xr"], st["ur"])
+    assert int(rc.e_flag[0]) == 1
+    assert int(rc.k[0]) % 8 == 0 or int(rc.k[0]) <= int(cold.k[0]) + 8
+
+
+def test_fused_rejects_fp64(fixture):
+    sys, param, _ = fixture
+    with pytest.raises(ValueError, match="fp32"):
+        sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                       backend="fused", **FUSED_OPTS)
