@@ -124,6 +124,15 @@ class BatchedSolver:
         return tuple(out)
 
     def __call__(self, *inputs, init=None, fixed_iters=None):
+        # Phase timing (Options.timing, the reference's MEASURE_TIME
+        # contract: update/solve/polish/run ms stamps around the solve —
+        # snippets/get_elapsed_time.c:12-15, docs/timing.md). On TPU the
+        # hot loop is one device dispatch, so 'solve' wraps dispatch +
+        # block_until_ready; timing=False keeps dispatch fully async.
+        timer = None
+        if self.options.timing:
+            from spcies_tpu.diagnostics.timing import PhaseTimer
+            timer = PhaseTimer()
         if len(inputs) < self.n_inputs:
             missing = self.n_inputs - len(inputs)
             if missing > len(self.default_inputs):
@@ -138,6 +147,8 @@ class BatchedSolver:
             inputs = self._to_incremental(inputs)
         inputs = broadcast_inputs(self.dtype, *inputs,
                                   core_ndims=self.input_core_ndims)
+        if timer is not None:
+            timer.mark("update")
         # TPU's default matmul precision truncates fp32 operands to
         # bfloat16; any solver matmul with O(1) operands (e.g. HMPC's
         # z @ C') then floors the residual at ~1e-3 and the iteration
@@ -147,6 +158,9 @@ class BatchedSolver:
         import jax as _jax
         with _jax.default_matmul_precision("highest"):
             res = self._jitted(*inputs, init, fixed_iters)
+        if timer is not None:
+            res = _jax.block_until_ready(res)
+            timer.mark("solve")
         if self.options.in_engineering:
             # de-scale the control move (code_laxMPC_ADMM_C.c:642-651);
             # sol iterates stay in incremental units like the C DEBUG output
@@ -154,6 +168,9 @@ class BatchedSolver:
             res = _dc.replace(
                 res, u=res.u / jnp.asarray(self._Nu, self.dtype)
                 + jnp.asarray(self._opu, self.dtype))
+        if timer is not None:
+            timer.mark("polish")
+            res.sol["times_ms"] = timer.finish()
         return res
 
     def solve(self, *inputs, **kw):

@@ -127,7 +127,9 @@ class Options:
     # general options, same names as the reference
     precision: str = "double"      # {'double','float'} -> fp64 / fp32
     inf_value: float = 1e30        # reference clamps inf to 1e20 in codegen
-    debug: bool = False            # return full iterates (C `DEBUG` define)
+    debug: int = 0                 # 0 off; 1 residual traces (genHist 1);
+                                   # 2 full iterate traces (genHist 2 /
+                                   # the C DEBUG define). bool accepted.
     timing: bool = True            # collect phase timings (MEASURE_TIME)
     in_engineering: bool = False   # engineering-units scaling (scale_ss)
     time_varying: bool = False     # per-call (A,B,Q,R,LB,UB) data
@@ -169,6 +171,7 @@ class Options:
                 self.solver.setdefault(key, val)
         if self.precision not in ("double", "float"):
             raise ValueError("precision must be 'double' or 'float'")
+        self.debug = int(self.debug)   # bool -> level (True == 1)
         return self
 
     @property

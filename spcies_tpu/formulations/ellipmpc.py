@@ -82,18 +82,40 @@ def ellipmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
             np.allclose(R, np.diag(np.diag(R)))):
         raise ValueError("ellipMPC/ADMM requires diagonal Q and R "
                          "(compute_ellipMPC_ADMM_ingredients.m:64-66)")
-    rho = opt.solver["rho"]
-    if not np.isscalar(rho):
-        raise NotImplementedError(
-            "ellipMPC/ADMM supports scalar rho (the reference's vector-rho "
-            "row scaling of blkdiag(I, P) is not well-formed)")
-    rho = float(rho)
     Qd, Rd = np.diag(Q).copy(), np.diag(R).copy()
     nz = N * (n + m)
 
+    # rho layout (compute_ellipMPC_ADMM_ingredients.m:68-77): scalar, or a
+    # vector of length N(n+m); force_vector_rho expands the scalar to a
+    # constant vector (the reference's own exercised vector path).
+    # The reference builds H = Hz + rho .* blkdiag(I, P) — a ROW scaling —
+    # which is only a symmetric (well-formed ADMM) penalty when the terminal
+    # n entries of rho are all equal: diag(rho_N) P is non-symmetric
+    # otherwise and the reference's own chol(W) at :101-102 would fail on
+    # the resulting non-symmetric W. We therefore accept any vector whose
+    # terminal block is constant and raise (with this argument) otherwise;
+    # see docs/options.md.
+    rho_in = np.asarray(opt.solver["rho"], dtype=float)
+    force_vec = bool(opt.solver.get("force_vector_rho", False))
+    rho_is_scalar = rho_in.ndim == 0 and not force_vec
+    rho_vec = (np.full(nz, float(rho_in)) if rho_in.ndim == 0
+               else rho_in.ravel().copy())
+    if rho_vec.size != nz:
+        raise ValueError(f"rho vector must have length {nz}")
+    rho_T = float(rho_vec[-1])
+    if not np.allclose(rho_vec[nz - n:], rho_T):
+        raise ValueError(
+            "ellipMPC/ADMM vector rho must be constant over the terminal "
+            "block (last n entries): the reference's rho.*blkdiag(I,P) row "
+            "scaling (compute_ellipMPC_ADMM_ingredients.m:84-86) gives a "
+            "non-symmetric penalty diag(rho_N) P otherwise, and chol(W) "
+            "fails")
+    rho_s = rho_vec[:nz - n].copy()     # stage entries (diagonal penalty)
+    rho = rho_T if rho_is_scalar else None
+
     P_half = _sym_sqrtm(P)
     Hz = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T)
-    Hhat = Hz + rho * linalg.blkdiag(np.eye(nz - n), P)
+    Hhat = Hz + linalg.blkdiag(np.diag(rho_s), rho_T * P)
     Hinv = np.linalg.inv(Hhat)
     G = linalg.mpc_equality_matrix(A, B, N)
     W = G @ Hinv @ G.T
@@ -108,7 +130,8 @@ def ellipmpc_admm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
 
     return dict(
         n=n, m=m, N=N, nz=nz, A=A, B=B, AB=np.hstack([A, B]),
-        Qd=Qd, Rd=Rd, T=T, rho=rho,
+        Qd=Qd, Rd=Rd, T=T, rho=rho, rho_is_scalar=rho_is_scalar,
+        rho_s=rho_s, rho_T=rho_T,
         P=P, P_half=P_half, Pinv_half=np.linalg.inv(P) @ P_half,
         c=c, r=r, M_q=M_q, M_b=M_b,
         Hi_0=np.diag(Hinv)[:m].copy(),
@@ -141,12 +164,15 @@ def _build_ellipmpc_admm_fused(ing, opt) -> BatchedSolver:
     if opt.precision == "double":
         raise ValueError("the fused backend is the fp32 production path; "
                          "use backend='dense' for fp64 verification")
+    if not ing["rho_is_scalar"]:
+        raise ValueError("the fused ellipMPC backend supports scalar rho; "
+                         "use backend='dense' for vector rho")
     dtype = jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
     ns = nz - n
     tol = float(opt.solver["tol"])
     k_max = int(opt.solver["k_max"])
-    rho_f = float(ing["rho"])
+    rho_f = float(ing["rho_T"])
     tile_b = int(opt.solver.get("tile_b", 256))
     check_every = int(opt.solver.get("check_every", 1))
     interpret = bool(opt.solver.get("pallas_interpret", False))
@@ -248,8 +274,15 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
     ns = nz - n  # stage entries (box-constrained part)
     tol = float(opt.solver["tol"])
     k_max = int(opt.solver["k_max"])
-    rho = dtype(ing["rho"])
-    rho_i = dtype(1.0 / ing["rho"])
+    # rho enters the iteration split by block: a per-entry vector on the
+    # stage entries, a scalar on the terminal (P-weighted) block — see the
+    # well-formedness note in ellipmpc_admm_ingredients
+    rho = (dtype(ing["rho_T"]) if ing["rho_is_scalar"]
+           else jnp.asarray(ing["rho_s"], dtype))
+    rho_i = (dtype(1.0 / ing["rho_T"]) if ing["rho_is_scalar"]
+             else jnp.asarray(1.0 / ing["rho_s"], dtype))
+    rho_T = dtype(ing["rho_T"])
+    rho_Ti = dtype(1.0 / ing["rho_T"])
     LB = jnp.asarray(ing["LB"], dtype)
     UB = jnp.asarray(ing["UB"], dtype)
     A = jnp.asarray(ing["A"], dtype)
@@ -300,7 +333,7 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
         def q_hat_of(lam, v):
             qs = q_ref[:, :ns] + lam[:, :ns] - rho * v[:, :ns]
             qT = (q_ref[:, ns:] + lam[:, ns:] @ P_half.T
-                  - rho * (v[:, ns:] @ P.T))
+                  - rho_T * (v[:, ns:] @ P.T))
             return jnp.concatenate([qs, qT], axis=-1)
 
         rinf = jnp.full((Bsz,), jnp.inf, dtype=dtype)
@@ -314,21 +347,21 @@ def build_ellipmpc_admm(sys: dict, param: dict, opt: Options,
             # v-update: box on stages, P-norm ellipsoid projection on x_N
             # (spcies_ellipMPC_ADMM_solver.m:179-189)
             vs = proj_box(z[:, :ns] + rho_i * lam[:, :ns], LB, UB)
-            yT = z[:, ns:] + rho_i * (lam[:, ns:] @ Pinv_half.T)
+            yT = z[:, ns:] + rho_Ti * (lam[:, ns:] @ Pinv_half.T)
             vT = proj_ellipsoid(yT, P, c, r)
             v = jnp.concatenate([vs, vT], axis=-1)
             # dual update (:192-193)
             lam_s = lam[:, :ns] + rho * (z[:, :ns] - vs)
-            lam_T = lam[:, ns:] + rho * ((z[:, ns:] - vT) @ P_half.T)
+            lam_T = lam[:, ns:] + rho_T * ((z[:, ns:] - vT) @ P_half.T)
             lam_new = jnp.concatenate([lam_s, lam_T], axis=-1)
             r_p = inf_norm(z - v)
             r_d = inf_norm(v - v_prev)
             conv = jnp.logical_and(r_p <= tol, r_d <= tol)
             # delta-form next z: dq = rho*(z - 2v + v_prev) through
-            # blkdiag(I, P) (see solvers/admm.py delta-form rationale)
+            # blkdiag(diag(rho_s), rho_T P) (see solvers/admm.py rationale)
             dz = z - 2.0 * v + v_prev
             dq = jnp.concatenate(
-                [rho * dz[:, :ns], rho * (dz[:, ns:] @ P.T)], axis=-1)
+                [rho * dz[:, :ns], rho_T * (dz[:, ns:] @ P.T)], axis=-1)
             z_next = z + z_lin(dq)
             return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)

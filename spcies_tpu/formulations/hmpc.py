@@ -155,6 +155,19 @@ def hmpc_common_ingredients(sys: dict, param: dict, opt: Options,
     ns = (N - 1) * (n + m) + m     # stage part of z
     dim = ns + 3 * (n + m)
 
+    if opt.solver.get("sparse", False):
+        # The reference's sparse mode is a permuted LDL of the KKT
+        # (compute_HMPC_ADMM_ingredients.m:241-250,
+        # code_HMPC_ADMM_split_C.c:192-211) — a CPU-cache optimization.
+        # This framework bakes the algebraically identical dense M1/M2
+        # maps (the reference's own NON_SPARSE path) because structured
+        # dense matmuls are the TPU-native form; accepting sparse=True
+        # silently would misrepresent what runs.
+        raise ValueError(
+            "HMPC sparse=True (permuted-LDL KKT) is not supported: the "
+            "TPU engine always uses the dense M1/M2 KKT maps, which are "
+            "algebraically identical (reference NON_SPARSE path). "
+            "Use sparse=False (default).")
     box_constraints = opt.solver.get("box_constraints", None)
     if box_constraints is None or box_constraints == []:
         # auto-detect (cons_HMPC_ADMM_C.m:57-63)

@@ -88,7 +88,19 @@ def mpct_eadmm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
 
     # P3: H3 = kron(I_{N+1}, blkdiag(Q, R)) + diag(rho_mid)
     H3 = linalg.blkdiag(*([linalg.blkdiag(Q, R)] * (N + 1))) + np.diag(rho_mid)
-    H3inv = np.linalg.inv(H3)
+    # force_diagonal (reference compute_MPCT_EADMM_ingredients.m:142-155):
+    # when requested AND Q/R actually diagonal, H3^{-1} is taken as the
+    # elementwise reciprocal of its diagonal (the reference's H3i / IS_DIAG
+    # representation); non-diagonal Q/R silently falls back to the general
+    # dense inverse, exactly like the reference's auto-detect. The online
+    # z3 map M3 is baked offline either way, so the solve is identical —
+    # this knob only selects the offline factorization path.
+    is_diag = (np.allclose(Q, np.diag(np.diag(Q)))
+               and np.allclose(R, np.diag(np.diag(R))))
+    if opt.force_diagonal and is_diag:
+        H3inv = np.diag(1.0 / np.diag(H3))
+    else:
+        H3inv = np.linalg.inv(H3)
     # Az3: hat-dynamics A x_i + B u_i - x_{i+1} = 0 over N row blocks,
     # z3 stage-ordered (x_i, u_i) for i = 0..N
     Az3 = np.zeros((N * n, nz1))
@@ -479,6 +491,11 @@ def mpct_admm_semiband_ingredients(sys: dict, param: dict,
     beta = float(opt.solver["beta"])
 
     if constrained_output:
+        if "C" not in sys or "LBy" not in sys or "UBy" not in sys:
+            raise ValueError(
+                "MPCT/ADMM-semiband constrained_output=True requires sys "
+                "fields C (output map), LBy, UBy (and optionally D) — "
+                "cons_MPCT_ADMM_semiband_C.m constrained-output contract")
         C = np.asarray(sys["C"], dtype=float)
         D = np.asarray(sys.get("D", np.zeros((C.shape[0], m))), dtype=float)
         p = C.shape[0]

@@ -279,7 +279,10 @@ def ellipmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
                          k_max=1000):
     """Reference-faithful dense ADMM for ellipMPC
     (platforms/Matlab/spcies_ellipMPC_ADMM_solver.m:129-224): terminal
-    penalty rho*P, P-norm ellipsoid projection on the terminal block."""
+    penalty rho*P, P-norm ellipsoid projection on the terminal block.
+    rho may be a scalar or a length-N(n+m) vector whose terminal n entries
+    are equal (the only well-formed vector layout; see
+    formulations/ellipmpc.py)."""
     import scipy.linalg as sla
     A = np.asarray(sys["A"], float)
     B = np.asarray(sys["B"], float)
@@ -293,13 +296,19 @@ def ellipmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
     r = float(param.get("r", 1.0))
     nz = N * (n + m)
     ns = nz - n
+    rho_vec = np.asarray(rho, float)
+    if rho_vec.ndim == 0:
+        rho_vec = np.full(nz, float(rho))
+    rho_T = float(rho_vec[-1])
+    rho_s = rho_vec[:ns]
+    rho = rho_s  # stage-entry layout used elementwise below
 
     w, V = np.linalg.eigh(P)
     P_half = (V * np.sqrt(np.maximum(w, 0))) @ V.T
     Pinv_half = np.linalg.inv(P) @ P_half
 
     Hz = linalg.blkdiag(R, *([linalg.blkdiag(Q, R)] * (N - 1)), T)
-    Hhat = Hz + rho * linalg.blkdiag(np.eye(ns), P)
+    Hhat = Hz + linalg.blkdiag(np.diag(rho_s), rho_T * P)
     Hinv = np.linalg.inv(Hhat)
     G = linalg.mpc_equality_matrix(A, B, N)
     W = G @ Hinv @ G.T
@@ -327,11 +336,11 @@ def ellipmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
         k += 1
         q_hat = np.empty(nz)
         q_hat[:ns] = q[:ns] + lam[:ns] - rho * v[:ns]
-        q_hat[ns:] = q[ns:] + P_half @ lam[ns:] - rho * (P @ v[ns:])
+        q_hat[ns:] = q[ns:] + P_half @ lam[ns:] - rho_T * (P @ v[ns:])
         z = solve_eq_qp(Hinv, G, W, q_hat, beq)
         v = np.empty(nz)
         v[:ns] = np.clip(z[:ns] + lam[:ns] / rho, LB, UB)
-        vT = z[ns:] + Pinv_half @ lam[ns:] / rho
+        vT = z[ns:] + Pinv_half @ lam[ns:] / rho_T
         d = vT - c
         vPv = d @ (P @ d)
         if vPv > r * r:
@@ -339,7 +348,7 @@ def ellipmpc_admm_oracle(sys, param, x0, xr, ur, *, rho=1e-2, tol=1e-4,
         v[ns:] = vT
         lam = lam.copy()
         lam[:ns] += rho * (z[:ns] - v[:ns])
-        lam[ns:] += rho * (P_half @ (z[ns:] - v[ns:]))
+        lam[ns:] += rho_T * (P_half @ (z[ns:] - v[ns:]))
         r_p = np.max(np.abs(z - v))
         r_d = np.max(np.abs(v - v1))
         if r_p <= tol and r_d <= tol:

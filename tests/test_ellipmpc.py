@@ -59,6 +59,51 @@ def test_admm_vs_oracle(admm_solver, fixture):
     assert np.max(np.abs(np.asarray(res.u[0]) - u_o)) < 1e-9
 
 
+def test_admm_vector_rho_vs_oracle(fixture):
+    """Vector rho (compute_ellipMPC_ADMM_ingredients.m:68-77): varying
+    per-stage entries, constant over the terminal block (the only
+    well-formed layout — see formulations/ellipmpc.py)."""
+    sys, param, st = fixture
+    n = len(st["xr"])
+    nz = param["N"] * (n + sys["B"].shape[1])
+    rng = np.random.default_rng(7)
+    rho_vec = 15.0 * (1.0 + 0.5 * rng.random(nz))
+    rho_vec[nz - n:] = 20.0
+    opts = dict(ADMM_OPTS, rho=rho_vec)
+    solver = sp.make_solver(sys, param, formulation="ellipMPC",
+                            method="ADMM", **opts)
+    res = solver(st["x"], st["xr"], st["ur"])
+    u_o, k_o, e_o, sol_o = ellipmpc_admm_oracle(
+        sys, param, st["x"], st["xr"], st["ur"], **opts)
+    assert int(res.e_flag[0]) == e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+    # force_vector_rho on a scalar (the reference's exercised vector path)
+    # must agree with the scalar build
+    s_vec = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                           force_vector_rho=True, **ADMM_OPTS)
+    s_sc = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                          **ADMM_OPTS)
+    rv = s_vec(st["x"], st["xr"], st["ur"])
+    rs = s_sc(st["x"], st["xr"], st["ur"])
+    assert int(rv.k[0]) == int(rs.k[0])
+    assert np.max(np.abs(np.asarray(rv.sol["z"] - rs.sol["z"]))) < 1e-12
+
+
+def test_admm_vector_rho_nonconstant_terminal_raises(fixture):
+    """A rho vector varying inside the terminal block makes the reference's
+    rho.*blkdiag(I,P) row scaling non-symmetric — must raise, not build."""
+    sys, param, st = fixture
+    n = len(st["xr"])
+    nz = param["N"] * (n + sys["B"].shape[1])
+    rho_vec = np.full(nz, 15.0)
+    rho_vec[-1] = 30.0
+    with pytest.raises(ValueError, match="terminal"):
+        sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
+                       rho=rho_vec, tol=1e-7, k_max=100)
+
+
 def test_admm_terminal_in_ellipsoid(fixture):
     """With a nondegenerate ellipsoid (r>0) the terminal iterate of v must
     satisfy (v_N - c)' P (v_N - c) <= r^2 (+ tol slack)."""
