@@ -1,9 +1,16 @@
-"""Benchmark: batched laxMPC-ADMM solves/s/chip on the oscillating-masses
-plant (the BASELINE.json north-star metric: >= 10,000 solves/s/chip at
-N=30, iterations-to-1e-4 parity with the reference's generated C).
+"""Benchmark: batched MPC solves/s/chip on the oscillating-masses plant.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever the default JAX platform is (real TPU under the driver).
+Headline metric (BASELINE.json north star): laxMPC-ADMM solves/s/chip at
+N=30, tol=1e-4 (>= 10,000 required). The same JSON line also carries a
+per-family matrix covering all six engine families (VERDICT r1 next-#2):
+laxMPC-ADMM, laxMPC-FISTA, MPCT-EADMM, MPCT-ADMM-cs, ellipMPC-ADMM and
+HMPC-SADMM-split, each run to convergence at the reference tolerance with
+solves/s + k_mean + converged_frac, plus the headline's effective
+delta-matmul FLOP rate (tflops_effective) so future rounds can track MFU
+movement, not just solves/s.
+
+Prints ONE JSON line. Runs on whatever the default JAX platform is (real
+TPU under the driver).
 """
 
 from __future__ import annotations
@@ -12,6 +19,28 @@ import json
 import time
 
 import numpy as np
+
+
+def _bench_solver(solver, args, reps=5):
+    """Median-of-reps timed to-convergence solves (the shared-tunnel TPU
+    shows large run-to-run variance; the median is robust to spikes)."""
+    res = solver(*args)
+    res.u.block_until_ready()
+    n = args[0].shape[0]
+    n_conv = int(np.sum(np.asarray(res.e_flag) == 1))
+    k_mean = float(np.mean(np.asarray(res.k)))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = solver(*args)
+        res.u.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return dict(solves_per_s=round(n / dt, 1),
+                k_mean=round(k_mean, 1),
+                converged_frac=round(n_conv / n, 4),
+                batch=n,
+                vs_baseline=round(n / dt / 10000.0, 3))
 
 
 def main():
@@ -27,72 +56,120 @@ def main():
     K_MAX = 1000
 
     sys_, param, st = sp.systems.tester_fixture()
-    param = dict(param)
-    param["N"] = N
-    # rho + over-relaxation tuned on the benchmark workload (alpha=1.9
-    # halves the batch-max iteration count vs plain ADMM at identical
-    # tolerance and solution accuracy; see solvers/admm.py relax_alpha).
-    # Backend: the fused Pallas kernel (whole loop VMEM-resident,
-    # convergence checked every 8 iterations) measures ~2.2x the dense XLA
-    # loop; fall back to dense if the kernel fails to compile on this chip.
+    param30 = dict(param)
+    param30["N"] = N
+
+    def dev(a):
+        # device-resident inputs: the metric is on-device solve throughput;
+        # production batches stream in asynchronously, while the dev tunnel
+        # adds tens of ms of host->device latency per transfer
+        return jax.device_put(jnp.asarray(a, jnp.float32))
+
+    rng = np.random.default_rng(0)
+    x0b = np.asarray(st["x"])[None, :] * rng.uniform(-2.0, 2.0, (BATCH, 1))
+    xrb = np.tile(st["xr"], (BATCH, 1))
+    urb = np.tile(st["ur"], (BATCH, 1))
+    X0, XR, UR = dev(x0b), dev(xrb), dev(urb)
+
+    # ------------------------------------------------------------------
+    # Headline: laxMPC-ADMM N=30, fused Pallas backend (whole loop
+    # VMEM-resident, convergence checked every 8 iterations), rho +
+    # over-relaxation tuned on the benchmark workload (alpha=1.9 halves
+    # the batch-max iteration count at identical tolerance); dense XLA
+    # fallback if the kernel fails to compile on this chip.
+    # ------------------------------------------------------------------
     def build(backend, **extra):
         opts = sp.default_options("laxMPC", "ADMM", rho=10.0, tol=TOL,
                                   k_max=K_MAX, bf16_delta=True,
                                   relax_alpha=1.9, **extra)
         opts.precision = "float"
-        return sp.make_solver(sys_, param, formulation="laxMPC",
+        return sp.make_solver(sys_, param30, formulation="laxMPC",
                               method="ADMM", options=opts, backend=backend)
 
     solver = build("fused", tile_b=512, check_every=8)
     backend_used = "fused"
-
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2.0, 2.0, (BATCH, 1))
-    xr = np.tile(st["xr"], (BATCH, 1))
-    ur = np.tile(st["ur"], (BATCH, 1))
-    # device-resident inputs: the metric is on-device solve throughput;
-    # production batches stream in asynchronously, while the dev tunnel
-    # adds tens of ms of host->device latency per transfer that would
-    # otherwise dominate the measurement
-    x0 = jax.device_put(jnp.asarray(x0, jnp.float32))
-    xr = jax.device_put(jnp.asarray(xr, jnp.float32))
-    ur = jax.device_put(jnp.asarray(ur, jnp.float32))
-
-    # warm-up / compile (fused kernel first, dense XLA loop as fallback)
     try:
-        res = solver(x0, xr, ur)
-        res.u.block_until_ready()
+        head = _bench_solver(solver, (X0, XR, UR), reps=7)
     except Exception:
         solver = build("dense")
         backend_used = "dense-fallback"
-        res = solver(x0, xr, ur)
-        res.u.block_until_ready()
-    n_conv = int(np.sum(np.asarray(res.e_flag) == 1))
-    k_mean = float(np.mean(np.asarray(res.k)))
+        head = _bench_solver(solver, (X0, XR, UR), reps=7)
 
-    # median of 7 timed repetitions — the shared-tunnel TPU shows large
-    # run-to-run variance, and the median is robust to interference spikes
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        res = solver(x0, xr, ur)
-        res.u.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    # effective FLOP rate of the headline: the per-iteration hot op is the
+    # delta-form lane matmul dq[B, nzp] @ M_q[nzp, nzp] = 2*nzp^2 FLOPs
+    # per lane-iteration (padded nzp is what the MXU actually executes)
+    nzp = ((solver.nz + 127) // 128) * 128
+    flops_per_lane_iter = 2.0 * nzp * nzp
+    tflops = (head["solves_per_s"] * head["k_mean"]
+              * flops_per_lane_iter / 1e12)
 
-    solves_per_s = BATCH / dt
+    # ------------------------------------------------------------------
+    # Per-family matrix (N=10 tester fixture, reference tolerances, run
+    # to convergence; settings from tools/tpu_convergence_sweep.py)
+    # ------------------------------------------------------------------
+    FB = 8192
+    X0f, XRf, URf = dev(x0b[:FB]), dev(xrb[:FB]), dev(urb[:FB])
+
+    def opts(f, m, sm="", **kw):
+        o = sp.default_options(f, m, sm, **kw)
+        o.precision = "float"
+        return o
+
+    fam = {}
+    pT = dict(param)
+    pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+    fam["laxMPC-FISTA"] = _bench_solver(sp.make_solver(
+        sys_, pT, formulation="laxMPC", method="FISTA",
+        options=opts("laxMPC", "FISTA", tol=TOL, k_max=5000,
+                     restart=True)), (X0f, XRf, URf))
+    pM = dict(param)
+    pM["T"] = 10.0 * np.asarray(param["Q"])
+    pM["S"] = np.asarray(param["R"]).copy()
+    fam["MPCT-EADMM"] = _bench_solver(sp.make_solver(
+        sys_, pM, formulation="MPCT", method="EADMM",
+        options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0,
+                     tol=TOL, k_max=5000)), (X0f, XRf, URf))
+    fam["MPCT-ADMM-cs"] = _bench_solver(sp.make_solver(
+        sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
+        options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=TOL, k_max=5000,
+                     tile_b=512, check_every=8), backend="fused"),
+        (X0f, XRf, URf))
+    pC = dict(param)
+    pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+    pC["P"] = np.eye(len(st["xr"]))
+    pC["c"] = np.asarray(st["xr"])
+    pC["r"] = 0.5
+    fam["ellipMPC-ADMM"] = _bench_solver(sp.make_solver(
+        sys_, pC, formulation="ellipMPC", method="ADMM",
+        options=opts("ellipMPC", "ADMM", rho=15.0, tol=TOL, k_max=5000,
+                     tile_b=512, check_every=8), backend="fused"),
+        (X0f, XRf, URf))
+    pH = dict(param)
+    pH.pop("T", None)
+    pH["w"] = 3 * 1.627 * 0.2
+    pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"])
+    pH["Th"] = pH["Te"]
+    pH["Se"] = np.asarray(pH["R"]).copy()
+    pH["Sh"] = 0.5 * pH["Se"]
+    fam["HMPC-SADMM-split"] = _bench_solver(sp.make_solver(
+        sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
+        options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
+                     tol_p=TOL, tol_d=TOL, k_max=5000)), (X0f, XRf, URf))
+
     out = {
         "metric": "laxMPC-ADMM solves/s/chip (osc-masses N=30, tol=1e-4)",
-        "value": round(solves_per_s, 1),
+        "value": head["solves_per_s"],
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 10000.0, 3),
-        "batch": BATCH,
-        "k_mean": round(k_mean, 1),
-        "converged_frac": round(n_conv / BATCH, 4),
+        "vs_baseline": head["vs_baseline"],
+        "batch": head["batch"],
+        "k_mean": head["k_mean"],
+        "converged_frac": head["converged_frac"],
+        "tflops_effective": round(tflops, 2),
         "platform": jax.devices()[0].platform,
         "backend": backend_used,
+        "families": fam,
+        "families_min_vs_baseline": min(
+            f["vs_baseline"] for f in fam.values()),
     }
     print(json.dumps(out))
 

@@ -1,6 +1,8 @@
 """Scaling-efficiency harness (SURVEY.md §7 step 7 / BASELINE.json
 ">=80% scaling efficiency" contract): solves/s at 1 device vs an N-device
-mesh, batch sharded, collectives off the hot path.
+mesh, batch sharded through the production shard_map path
+(parallel/distributed.py — per-shard termination, zero per-iteration
+collectives).
 
 On real multi-chip hardware run as-is; without it, set
 XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu to
@@ -8,9 +10,14 @@ validate the sharding path. CAUTION: virtual CPU "devices" share the
 host's physical cores, so on a virtual mesh even the efficiency ratio is
 bounded by core count, not by the sharding design — use it only to check
 that the sharded program compiles, executes and partitions correctly;
-efficiency claims require real chips.
+efficiency claims require real chips. (The shard_map program inserts no
+cross-device communication at all — see
+tests/test_shard_map_solver.py::test_shard_map_no_hotloop_collectives —
+so on real chips the only scaling losses are per-chip dispatch overheads.)
 
-Prints one JSON line per mesh size.
+Usage:
+    python bench_scaling.py [--out SCALING.json] [--mode sharded|convergence]
+Prints one JSON line per mesh size and optionally writes the full record.
 """
 
 from __future__ import annotations
@@ -21,7 +28,8 @@ import time
 import numpy as np
 
 
-def run(mesh_devices, batch_per_device=2048, N=30, iters=150):
+def run(mesh_devices, batch_per_device=2048, N=30, iters=150,
+        convergence=False):
     import jax
     import spcies_tpu as sp
 
@@ -34,7 +42,7 @@ def run(mesh_devices, batch_per_device=2048, N=30, iters=150):
     solver = sp.make_solver(sys_, param, formulation="laxMPC",
                             method="ADMM", options=opts)
     mesh = sp.parallel.batch_mesh(mesh_devices)
-    solve = sp.parallel.sharded_solver(solver, mesh)
+    solve = sp.parallel.shard_map_solver(solver, mesh)
 
     B = batch_per_device * len(mesh_devices)
     rng = np.random.default_rng(0)
@@ -42,34 +50,67 @@ def run(mesh_devices, batch_per_device=2048, N=30, iters=150):
     xr = np.tile(st["xr"], (B, 1))
     ur = np.tile(st["ur"], (B, 1))
 
-    res = solve(x0, xr, ur, fixed_iters=iters)
-    res.u.block_until_ready()
+    fixed = None if convergence else iters
+    res = solve(x0, xr, ur, fixed_iters=fixed)
+    jax.block_until_ready(res.u)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = solve(x0, xr, ur, fixed_iters=iters)
-    res.u.block_until_ready()
+        res = solve(x0, xr, ur, fixed_iters=fixed)
+    jax.block_until_ready(res.u)
     dt = (time.perf_counter() - t0) / reps
     return B / dt
 
 
-def main():
+def main(argv=None):
+    import argparse
     import os
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the scaling record to this JSON file")
+    ap.add_argument("--mode", default="fixed",
+                    choices=("fixed", "convergence"),
+                    help="fixed-iteration (default) or run-to-convergence")
+    ap.add_argument("--batch-per-device", type=int, default=2048)
+    args = ap.parse_args(argv)
+
     # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     devs = jax.devices()
-    base = run(devs[:1])
+    conv = args.mode == "convergence"
+    base = run(devs[:1], batch_per_device=args.batch_per_device,
+               convergence=conv)
     out = [dict(devices=1, solves_per_s=round(base, 1), efficiency=1.0)]
     n = 2
     while n <= len(devs):
-        r = run(devs[:n])
+        r = run(devs[:n], batch_per_device=args.batch_per_device,
+                convergence=conv)
         out.append(dict(devices=n, solves_per_s=round(r, 1),
                         efficiency=round(r / (n * base), 3)))
         n *= 2
     for row in out:
         print(json.dumps(row))
+    if args.out:
+        record = dict(
+            platform=devs[0].platform,
+            n_devices_available=len(devs),
+            mode=args.mode,
+            batch_per_device=args.batch_per_device,
+            solver="laxMPC-ADMM osc-masses N=30 fp32",
+            path="parallel.distributed.shard_map_solver",
+            note=("virtual CPU devices share physical cores; efficiency "
+                  "on a virtual mesh is core-bound, not a property of the "
+                  "sharding (the compiled loop has no collectives)"
+                  if devs[0].platform == "cpu" else
+                  "real-chip run"),
+            results=out,
+        )
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

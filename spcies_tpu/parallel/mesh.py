@@ -1,11 +1,18 @@
-"""Multi-device scenario-batch sharding.
+"""Multi-device scenario-batch sharding (single-process convenience path).
 
 The reference is entirely serial (SURVEY.md §2.8 — one embedded problem per
-binary, no MPI/NCCL). Here scenario-batch parallelism is first-class:
-solves are embarrassingly parallel across lanes, so the design shards the
-batch dim over a 1-D (or host x chip 2-D) `jax.sharding.Mesh` and keeps
-collectives OFF the per-iteration critical path — only fleet *metrics*
-(converged counts, iteration histograms) are psum-reduced.
+binary, no MPI/NCCL). Here scenario-batch parallelism is first-class: the
+batch dim shards over a `jax.sharding.Mesh` and fleet *metrics* (converged
+counts, iteration histograms) are psum-reduced off the hot path.
+
+NOTE on the hot loop: `sharded_solver` relies on jit auto-partitioning, so
+in the default convergence-checked mode the masked loop's "any lane
+active" test IS a per-iteration cross-device all-reduce (one bool per
+device over ICI); only `fixed_iters` mode is collective-free here. The
+production scale-out path is `parallel.distributed.shard_map_solver`,
+which runs the whole loop per-shard (per-shard termination, zero
+per-iteration collectives, identical per-lane results under freeze
+semantics) and extends to multi-host (host x chip) meshes.
 """
 
 from __future__ import annotations
