@@ -231,6 +231,17 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
         return _tv_fista_solver(sys, param, opt, terminal=False)
     from spcies_tpu.solvers.fista import fista_solve
     ing = equmpc_fista_ingredients(sys, param, opt)
+    if backend == "fused":
+        from spcies_tpu.formulations.laxmpc import _build_fista_fused
+
+        def _b_equ(ing_, x0, xr, dtype_):
+            A_ = jnp.asarray(ing_["A"], dtype_)
+            N_, n_ = ing_["N"], ing_["n"]
+            b = jnp.zeros((x0.shape[0], N_ * n_), dtype_)
+            b = b.at[:, :n_].set(-(x0 @ A_.T))
+            return b.at[:, -n_:].set(xr)
+
+        return _build_fista_fused(ing, opt, _equmpc_q_ref, _b_equ)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
     tol = float(opt.solver["tol"])
@@ -238,8 +249,8 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
     A = jnp.asarray(ing["A"], dtype)
     if backend not in ("dense", "banded"):
         raise ValueError(f"unknown backend {backend!r}")
-    z_from_y_f, resid_f, w_solve = _make_fista_parts(ing, dtype, backend,
-                                                     terminal=False)
+    z_from_q, gt_op, g_op, w_solve = _make_fista_parts(ing, dtype, backend,
+                                                       terminal=False)
 
     def _solve(x0, xr, ur, init, fixed_iters):
         Bsz = x0.shape[0]
@@ -249,7 +260,7 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
         b = b.at[:, -n:].set(xr)
         lam_init = init if init is None else init[0]
         z, y, lam, k, e_flag, res, hist = fista_solve(
-            z_from_y_f(q_ref), resid_f(b), w_solve,
+            z_from_q, gt_op, g_op, w_solve, q_ref, b,
             tol=tol, k_max=k_max, batch=Bsz, nlam=N * n, dtype=dtype,
             lam_init=lam_init, fixed_iters=fixed_iters,
             restart=bool(opt.solver.get("restart", False)),

@@ -493,7 +493,144 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
                          dtype=dtype)
 
 
-def _build_hmpc_split(sys, param, opt, symmetric: bool):
+def _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric: bool):
+    """'fused' backend for the two-block split (S)ADMM loop
+    (kernels/fused_split.py): the concatenated (z, s) state VMEM-resident
+    in the layout [z | box | y0 | y1 | y2], aux maintained in delta form.
+    Same contract as the single-split fused backend: exact per-lane k in
+    check_every=1 mode with fp32-roundoff iterate agreement (the permuted
+    KKT matmul changes the contraction order vs the dense engine)."""
+    from spcies_tpu.kernels.fused_admm import _round_up
+    from spcies_tpu.kernels.fused_split import fused_split_solve
+
+    if opt.precision != "float":
+        raise ValueError("the fused backend is the fp32 production path; "
+                         "use backend='dense' for fp64 verification")
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    dim, n_s, ns = ing["dim"], ing["n_s"], ing["ns"]
+    n_box = ing["n_box"]
+    box_mode = ing["box_constraints"]
+    use_soc = ing["use_soc"]
+    n_cones = ing["n_soc"] if use_soc else ing["n_y"]
+    tol_p = float(opt.solver["tol_p"])
+    tol_d = float(opt.solver["tol_d"])
+    k_max = int(opt.solver["k_max"])
+    rho_f = float(opt.solver["rho"])
+    sigma_f = float(opt.solver["sigma"])
+    alpha_f = float(opt.solver["alpha"]) if symmetric else 1.0
+    tile_b = int(opt.solver.get("tile_b", 256))
+    check_every = int(opt.solver.get("check_every", 1))
+    interpret = bool(opt.solver.get("pallas_interpret", False))
+
+    dim_p = _round_up(dim, 128)
+    n_boxp = _round_up(max(n_box, 1), 128)
+    cp = _round_up(max(n_cones, 1), 128)
+    ns_p = n_boxp + 3 * cp
+    P = dim_p + ns_p
+
+    # permuted padded position of each combined (z, s) entry
+    pos_s = np.empty(n_s, dtype=np.int64)
+    pos_s[:n_box] = np.arange(n_box)
+    for c in range(n_cones):
+        pos_s[n_box + 3 * c + 0] = n_boxp + c
+        pos_s[n_box + 3 * c + 1] = n_boxp + cp + c
+        pos_s[n_box + 3 * c + 2] = n_boxp + 2 * cp + c
+    pos_full = np.concatenate([np.arange(dim), dim_p + pos_s])
+
+    M1P = np.zeros((P, P), dtype=np.float32)
+    M1P[np.ix_(pos_full, pos_full)] = M1_np.T
+
+    # head clip bounds: z block then the box segment
+    LB_head = np.zeros((1, dim_p + n_boxp), np.float32)
+    UB_head = np.zeros((1, dim_p + n_boxp), np.float32)
+    if box_mode:
+        LB_head[0, :ns] = np.maximum(ing["box_LB"], -1e30)
+        UB_head[0, :ns] = np.minimum(ing["box_UB"], 1e30)
+        LB_head[0, ns:dim] = -3.0e38       # harmonic refs unclipped
+        UB_head[0, ns:dim] = 3.0e38
+    else:
+        LB_head[0, :dim] = -3.0e38         # z unclipped
+        UB_head[0, :dim] = 3.0e38
+        LB_head[0, dim_p:dim_p + n_box] = np.maximum(ing["box_LB"], -1e30)
+        UB_head[0, dim_p:dim_p + n_box] = np.minimum(ing["box_UB"], 1e30)
+    lby = np.zeros((1, cp), np.float32)
+    uby = np.zeros((1, cp), np.float32)
+    if not use_soc:
+        lby[0, :n_cones] = ing["LBy"]
+        uby[0, :n_cones] = ing["UBy"]
+    scale_row = np.zeros((1, P), np.float32)
+    scale_row[0, :dim_p] = sigma_f
+    scale_row[0, dim_p:] = rho_f
+    iscale_row = np.zeros((1, P), np.float32)
+    iscale_row[0, :dim_p] = 1.0 / sigma_f
+    iscale_row[0, dim_p:] = 1.0 / rho_f
+
+    M1P = jnp.asarray(M1P)
+    LB_head = jnp.asarray(LB_head)
+    UB_head = jnp.asarray(UB_head)
+    lby, uby = jnp.asarray(lby), jnp.asarray(uby)
+    scale_row = jnp.asarray(scale_row)
+    iscale_row = jnp.asarray(iscale_row)
+    pos_full_j = jnp.asarray(pos_full)
+    M1 = jnp.asarray(M1_np, jnp.float32)
+    M2_b0 = jnp.asarray(M2_np[:, :n], jnp.float32)
+    aux_d = jnp.asarray(M2_np[:, ing["n_eq"]:] @ ing["d"], jnp.float32)
+    A = jnp.asarray(ing["A"], jnp.float32)
+    rho = jnp.float32(rho_f)
+    sigma = jnp.float32(sigma_f)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        if fixed_iters is not None:
+            raise ValueError("fixed_iters is not supported by the fused "
+                             "split backend; use backend='dense'")
+        Bsz = x0.shape[0]
+        q = _make_q(ing, x0, xr, ur, jnp.float32)
+        aux_b = (-(x0 @ A.T)) @ M2_b0.T + aux_d
+        if init is None:
+            z0_ = jnp.zeros((Bsz, dim), jnp.float32)
+            s0 = jnp.zeros((Bsz, n_s), jnp.float32)
+            lam0 = jnp.zeros((Bsz, dim), jnp.float32)
+            mu0 = jnp.zeros((Bsz, n_s), jnp.float32)
+        else:
+            z0_, s0, lam0, mu0 = init
+        q_hat0 = jnp.concatenate(
+            [q - sigma * z0_ + lam0, mu0 - rho * s0], axis=-1)
+        aux1 = q_hat0 @ M1.T + aux_b            # highest-precision context
+
+        Bp = _round_up(Bsz, tile_b)
+        def scatter(zpart, spart):
+            return jnp.zeros((Bp, P), jnp.float32).at[
+                :Bsz, pos_full_j].set(
+                    jnp.concatenate([zpart, spart], axis=-1))
+        aux1p = jnp.zeros((Bp, P), jnp.float32).at[
+            :Bsz, pos_full_j].set(aux1)
+        zs0p = scatter(z0_, s0)
+        lm0p = scatter(lam0, mu0)
+        import jax as _jax
+        with _jax.default_matmul_precision("default"):
+            zs, lm, aux, k, e_flag, r_p, r_d = fused_split_solve(
+                aux1p, zs0p, lm0p, M1P, LB_head, UB_head, lby, uby,
+                scale_row, iscale_row, alpha=alpha_f, tol_p=tol_p,
+                tol_d=tol_d, k_max=k_max, use_soc=use_soc,
+                symmetric=symmetric, dim_p=dim_p, n_boxp=n_boxp, cp=cp,
+                tile_b=tile_b, check_every=check_every,
+                interpret=interpret)
+        zs_o = jnp.take(zs[:Bsz], pos_full_j, axis=1)
+        lm_o = jnp.take(lm[:Bsz], pos_full_j, axis=1)
+        aux_o = jnp.take(aux[:Bsz], pos_full_j, axis=1)
+        return SolveResult(
+            u=zs_o[:, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
+            sol=dict(z=zs_o[:, :dim], s=zs_o[:, dim:],
+                     z_hat=aux_o[:, :dim], s_hat=aux_o[:, dim:],
+                     lam=lm_o[:, :dim], mu=lm_o[:, dim:],
+                     r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=dim,
+                         dtype=jnp.float32)
+
+
+def _build_hmpc_split(sys, param, opt, symmetric: bool,
+                      backend: str = "dense"):
     """Two-block split HMPC solver, plain (ADMM) or symmetric (SADMM)
     (spcies_HMPC_{ADMM,SADMM}_split_solver.m, code_HMPC_ADMM_split_C.c;
     IS_SYMMETRIC define = `symmetric`)."""
@@ -525,6 +662,11 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
     Winv = np.linalg.inv(W)
     M1_np = Hhi @ Gh.T @ Winv @ Gh @ Hhi - Hhi
     M2_np = Hhi @ Gh.T @ Winv
+
+    if backend == "fused":
+        return _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric)
+    if backend != "dense":
+        raise ValueError(f"unknown backend {backend!r} for HMPC split")
 
     M1 = jnp.asarray(M1_np, dtype)
     M2_b0 = jnp.asarray(M2_np[:, :n], dtype)
@@ -629,16 +771,14 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool):
 
 @register_builder("HMPC", "ADMM", "split")
 def build_hmpc_admm_split(sys, param, opt, backend: str = "dense"):
-    if backend not in ("dense",):
-        raise ValueError("HMPC/ADMM-split has a dense backend")
-    return _build_hmpc_split(sys, param, opt, symmetric=False)
+    return _build_hmpc_split(sys, param, opt, symmetric=False,
+                             backend=backend)
 
 
 @register_builder("HMPC", "SADMM", "split")
 def build_hmpc_sadmm_split(sys, param, opt, backend: str = "dense"):
-    if backend not in ("dense",):
-        raise ValueError("HMPC/SADMM-split has a dense backend")
-    return _build_hmpc_split(sys, param, opt, symmetric=True)
+    return _build_hmpc_split(sys, param, opt, symmetric=True,
+                             backend=backend)
 
 
 # ---------------------------------------------------------------------------

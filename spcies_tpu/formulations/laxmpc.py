@@ -241,27 +241,26 @@ def laxmpc_fista_ingredients(sys: dict, param: dict, opt: Options) -> dict:
 
 def _make_fista_parts(ing, dtype, backend, terminal: bool):
     """Shared FISTA operator construction for laxMPC (terminal=True) and
-    equMPC (terminal=False): z_from_y, resid-from-z, and the W solve."""
+    equMPC (terminal=False): z-from-q clip, the linear G^T / G applies
+    (consumed on deltas by the engine), and the W solve."""
     from spcies_tpu.formulations import stagewise
     n, m, N = ing["n"], ing["m"], ing["N"]
     hinv = jnp.asarray(ing["hinv_diag"], dtype)
     LB_z = jnp.asarray(ing["LB_z"], dtype)
     UB_z = jnp.asarray(ing["UB_z"], dtype)
 
+    def z_from_q(q):
+        return proj_box(-hinv * q, LB_z, UB_z)
+
     if backend == "dense":
         G = jnp.asarray(ing["G"], dtype)
         Winv = jnp.asarray(ing["Winv"], dtype)
 
-        def z_from_y(q_ref):
-            def fn(y):
-                q = q_ref - y @ G
-                return proj_box(-hinv * q, LB_z, UB_z)
-            return fn
+        def gt_op(y):
+            return y @ G
 
-        def resid(b):
-            def fn(z):
-                return b - z @ G.T
-            return fn
+        def g_op(z):
+            return z @ G.T
 
         def w_solve(r):
             return r @ Winv.T
@@ -274,25 +273,109 @@ def _make_fista_parts(ing, dtype, backend, terminal: bool):
         B_ = jnp.asarray(ing["B"], dtype)
         AB = jnp.asarray(ing["AB"], dtype)
 
-        def z_from_y(q_ref):
-            def fn(y):
-                mu = y.reshape(y.shape[0], N, n)
-                q = q_ref - stagewise.gt_apply(mu, n, m, B_, AB, terminal)
-                return proj_box(-hinv * q, LB_z, UB_z)
-            return fn
+        def gt_op(y):
+            mu = y.reshape(y.shape[0], N, n)
+            return stagewise.gt_apply(mu, n, m, B_, AB, terminal)
 
-        def resid(b):
-            def fn(z):
-                z0, zm, zN = stagewise.split_z(z, n, m, N, terminal)
-                gz = stagewise.g_apply(z0, zm, zN, A_, B_, AB)
-                return b - gz.reshape(z.shape[0], -1)
-            return fn
+        def g_op(z):
+            z0, zm, zN = stagewise.split_z(z, n, m, N, terminal)
+            gz = stagewise.g_apply(z0, zm, zN, A_, B_, AB)
+            return gz.reshape(z.shape[0], -1)
 
         def w_solve(r):
             mu = band_chol_solve(r.reshape(r.shape[0], N, n), Alpha, BetaInv)
             return mu.reshape(r.shape[0], -1)
 
-    return z_from_y, resid, w_solve
+    return z_from_q, gt_op, g_op, w_solve
+
+
+def _build_fista_fused(ing, opt, make_q_ref, make_b) -> BatchedSolver:
+    """'fused' FISTA backend: the whole dual-FISTA loop VMEM-resident
+    (kernels/fused_fista.py), with q = q_ref - y G and r = b - z G'
+    maintained in delta form so every per-iteration matmul has shrinking
+    operands (single-pass MXU precision is safe). Shared by laxMPC and
+    equMPC — they differ only in (q_ref, b) construction."""
+    from spcies_tpu.kernels.fused_admm import _round_up
+    from spcies_tpu.kernels.fused_fista import fused_fista_solve
+
+    if opt.precision == "double":
+        raise ValueError("the fused backend is the fp32 production path; "
+                         "use backend='dense' for fp64 verification")
+    dtype = jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    nlam = N * n
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    restart = bool(opt.solver.get("restart", False))
+    tile_b = int(opt.solver.get("tile_b", 256))
+    check_every = int(opt.solver.get("check_every", 1))
+    interpret = bool(opt.solver.get("pallas_interpret", False))
+
+    nzp = _round_up(nz, 128)
+    nlamp = _round_up(nlam, 128)
+    G_np = np.asarray(ing["G"], float)
+    G_pad = np.zeros((nlamp, nzp), np.float32)
+    G_pad[:nlam, :nz] = G_np
+    GT_pad = np.ascontiguousarray(G_pad.T)
+    WinvT_pad = np.zeros((nlamp, nlamp), np.float32)
+    WinvT_pad[:nlam, :nlam] = np.asarray(ing["Winv"], float).T
+    hinv_pad = np.zeros((1, nzp), np.float32)
+    hinv_pad[0, :nz] = ing["hinv_diag"]
+    LB_pad = np.zeros((1, nzp), np.float32)
+    UB_pad = np.zeros((1, nzp), np.float32)
+    LB_pad[0, :nz] = np.maximum(ing["LB_z"], -1e30)
+    UB_pad[0, :nz] = np.minimum(ing["UB_z"], 1e30)
+    G_pad = jnp.asarray(G_pad)
+    GT_pad = jnp.asarray(GT_pad)
+    WinvT_pad = jnp.asarray(WinvT_pad)
+    hinv_pad_j = jnp.asarray(hinv_pad)
+    LB_pad_j = jnp.asarray(LB_pad)
+    UB_pad_j = jnp.asarray(UB_pad)
+
+    G = jnp.asarray(G_np, dtype)
+    Winv = jnp.asarray(ing["Winv"], dtype)
+    hinv = jnp.asarray(ing["hinv_diag"], dtype)
+    LB_z = jnp.asarray(LB_pad[0, :nz])
+    UB_z = jnp.asarray(UB_pad[0, :nz])
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        Bsz = x0.shape[0]
+        q_ref = make_q_ref(ing, xr, ur, dtype)
+        b = make_b(ing, x0, xr, dtype)
+        lam0 = (jnp.zeros((Bsz, nlam), dtype) if init is None
+                else jnp.asarray(init[0], dtype))
+        # k = 0 warm-start gradient step (solvers/fista.py prologue) under
+        # the solver-level highest-precision context
+        z0 = proj_box(-hinv * (q_ref - lam0 @ G), LB_z, UB_z)
+        r0 = b - z0 @ G.T
+        y = lam0 + r0 @ Winv.T           # lam = y after the warm start
+        q1 = q_ref - y @ G
+
+        Bp = ((Bsz + tile_b - 1) // tile_b) * tile_b
+        padz = ((0, Bp - Bsz), (0, nzp - nz))
+        padl = ((0, Bp - Bsz), (0, nlamp - nlam))
+        with jax.default_matmul_precision("default"):
+            z, yk, lam, k, e_flag, res = fused_fista_solve(
+                jnp.pad(q1, padz), jnp.pad(z0, padz), jnp.pad(r0, padl),
+                jnp.pad(y, padl), jnp.pad(y, padl),
+                G_pad, GT_pad, WinvT_pad, hinv_pad_j, LB_pad_j, UB_pad_j,
+                tol=tol, k_max=k_max, restart=restart, tile_b=tile_b,
+                check_every=check_every,
+                fixed_iters=int(fixed_iters or 0), interpret=interpret)
+        z = z[:Bsz, :nz]
+        return SolveResult(u=z[:, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],
+                           sol=dict(z=z, lam=yk[:Bsz, :nlam],
+                                    res=res[:Bsz]))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz,
+                         dtype=dtype)
+
+
+def _fista_b_lax(ing, x0, xr, dtype):
+    A = jnp.asarray(ing["A"], dtype)
+    N, n = ing["N"], ing["n"]
+    b = jnp.zeros((x0.shape[0], N * n), dtype)
+    return b.at[:, :n].set(-(x0 @ A.T))
 
 
 @register_builder("laxMPC", "FISTA")
@@ -304,6 +387,8 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
         return _tv_fista_solver(sys, param, opt, terminal=True)
     from spcies_tpu.solvers.fista import fista_solve
     ing = laxmpc_fista_ingredients(sys, param, opt)
+    if backend == "fused":
+        return _build_fista_fused(ing, opt, _q_ref, _fista_b_lax)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
     tol = float(opt.solver["tol"])
@@ -311,8 +396,8 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
     A = jnp.asarray(ing["A"], dtype)
     if backend not in ("dense", "banded"):
         raise ValueError(f"unknown backend {backend!r}")
-    z_from_y_f, resid_f, w_solve = _make_fista_parts(ing, dtype, backend,
-                                                     terminal=True)
+    z_from_q, gt_op, g_op, w_solve = _make_fista_parts(ing, dtype, backend,
+                                                       terminal=True)
 
     def _solve(x0, xr, ur, init, fixed_iters):
         Bsz = x0.shape[0]
@@ -321,7 +406,7 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
         b = b.at[:, :n].set(-(x0 @ A.T))
         lam_init = init if init is None else init[0]
         z, y, lam, k, e_flag, res, hist = fista_solve(
-            z_from_y_f(q_ref), resid_f(b), w_solve,
+            z_from_q, gt_op, g_op, w_solve, q_ref, b,
             tol=tol, k_max=k_max, batch=Bsz, nlam=N * n, dtype=dtype,
             lam_init=lam_init, fixed_iters=fixed_iters,
             restart=bool(opt.solver.get("restart", False)),
@@ -533,15 +618,17 @@ def _tv_fista_solver(sys, param, opt, *, terminal: bool):
         if not terminal:
             b = b.at[:, -n:].set(xr)
 
-        def z_from_y(y):
-            mu = y.reshape(Bsz, N, n)
-            q = q_ref - stagewise.gt_apply(mu, n, m, B, AB, terminal)
+        def z_from_q(q):
             return proj_box(-hinv * q, LB_z, UB_z)
 
-        def resid(z):
+        def gt_op(y):
+            mu = y.reshape(Bsz, N, n)
+            return stagewise.gt_apply(mu, n, m, B, AB, terminal)
+
+        def g_op(z):
             z0, zm, zN = stagewise.split_z(z, n, m, N, terminal)
             gz = stagewise.g_apply(z0, zm, zN, A, B, AB)
-            return b - gz.reshape(Bsz, -1)
+            return gz.reshape(Bsz, -1)
 
         def w_solve(r):
             mu = band_chol_solve(r.reshape(Bsz, N, n), Alpha, BetaInv)
@@ -549,7 +636,8 @@ def _tv_fista_solver(sys, param, opt, *, terminal: bool):
 
         lam_init = init if init is None else init[0]
         z, y, lam, k, e_flag, res, hist = fista_solve(
-            z_from_y, resid, w_solve, tol=tol, k_max=k_max, batch=Bsz,
+            z_from_q, gt_op, g_op, w_solve, q_ref, b,
+            tol=tol, k_max=k_max, batch=Bsz,
             nlam=N * n, dtype=dtype, lam_init=lam_init,
             fixed_iters=fixed_iters,
             restart=bool(opt.solver.get("restart", False)))

@@ -54,3 +54,12 @@ def delta_dot(x, M):
     wrap in api.BatchedSolver.__call__; commit eff0082)."""
     import jax
     return jax.lax.dot(x, M, precision=jax.lax.Precision.DEFAULT)
+
+
+def delta_dot_op(op, x):
+    """Apply a linear operator to a shrinking delta at DEFAULT matmul
+    precision (the operator-callback form of delta_dot, for matrix-free
+    ops like the stagewise G/G^T applies)."""
+    import jax
+    with jax.default_matmul_precision("default"):
+        return op(x)

@@ -1,0 +1,95 @@
+"""Fused dual-FISTA Pallas kernel — interpret-mode differential tests:
+check_every=1 must reproduce the dense FISTA engine's iterates
+bit-for-bit (same delta-form recursion), for laxMPC and equMPC, with and
+without adaptive restart; free-running mode must converge with k at check
+granularity."""
+
+import numpy as np
+import pytest
+
+import spcies_tpu as sp
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    sys, param, st = sp.systems.tester_fixture()
+    param = dict(param)
+    param["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+    return sys, param, st
+
+
+def _solvers(formulation, sys, param, restart=False, **fused_kw):
+    opts = sp.default_options(formulation, "FISTA", tol=1e-5, k_max=3000,
+                              restart=restart, pallas_interpret=True,
+                              tile_b=8, **fused_kw)
+    opts.precision = "float"
+    s_f = sp.make_solver(sys, param, formulation=formulation,
+                         method="FISTA", backend="fused", options=opts)
+    opts_d = sp.default_options(formulation, "FISTA", tol=1e-5, k_max=3000,
+                                restart=restart)
+    opts_d.precision = "float"
+    s_d = sp.make_solver(sys, param, formulation=formulation,
+                         method="FISTA", options=opts_d)
+    return s_f, s_d
+
+
+def _data(st, B, seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    return x0, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1))
+
+
+@pytest.mark.parametrize("formulation", ["laxMPC", "equMPC"])
+@pytest.mark.parametrize("restart", [False, True])
+def test_fused_fista_matches_dense(fixture, formulation, restart):
+    sys, param, st = fixture
+    if formulation == "equMPC":
+        param = dict(param)
+        param.pop("T", None)
+    s_f, s_d = _solvers(formulation, sys, param, restart=restart)
+    x0, xr, ur = _data(st, 8)
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    for key in ("z", "lam"):
+        np.testing.assert_array_equal(np.asarray(rf.sol[key]),
+                                      np.asarray(rd.sol[key]))
+    np.testing.assert_array_equal(np.asarray(rf.sol["res"]),
+                                  np.asarray(rd.sol["res"]))
+
+
+def test_fused_fista_check_every(fixture):
+    """Free-running mode: converges to the same tolerance with k recorded
+    at check granularity (k_fused >= k_dense, within one check window)."""
+    sys, param, st = fixture
+    s_f, s_d = _solvers("laxMPC", sys, param, check_every=4)
+    x0, xr, ur = _data(st, 8, seed=3)
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    assert np.all(np.asarray(rf.e_flag) == 1)
+    kf, kd = np.asarray(rf.k), np.asarray(rd.k)
+    # the residual sequence is identical pre-convergence, so the first
+    # CHECKED crossing can only be at or after the dense (every-iteration)
+    # one; FISTA's residual is non-monotone, so a lane may overshoot past
+    # several check windows before a checked iteration lands <= tol
+    assert np.all(kf >= kd)
+    assert np.all(np.asarray(rf.sol["res"]) <= 1e-5)
+    # solutions agree to solver tolerance scale
+    np.testing.assert_allclose(np.asarray(rf.u), np.asarray(rd.u),
+                               atol=1e-4)
+
+
+def test_fused_fista_warm_start_and_fixed_iters(fixture):
+    sys, param, st = fixture
+    s_f, s_d = _solvers("laxMPC", sys, param)
+    x0, xr, ur = _data(st, 8, seed=4)
+    rd = s_d(x0, xr, ur)
+    rf2 = s_f(x0, xr, ur, init=(rd.sol["lam"],))
+    assert int(np.max(np.asarray(rf2.k))) <= 2
+    rfix = s_f(x0, xr, ur, fixed_iters=7)
+    np.testing.assert_array_equal(np.asarray(rfix.k), 7)
+    rdix = s_d(x0, xr, ur, fixed_iters=7)
+    np.testing.assert_array_equal(np.asarray(rfix.sol["z"]),
+                                  np.asarray(rdix.sol["z"]))

@@ -67,4 +67,26 @@ results.append(check("HMPC-SADMM-split", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
     options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur))
+
+# fused Pallas backends (compiled, not interpret) — hardware numerics
+results.append(check("laxMPC-FISTA-fused", sp.make_solver(
+    sys_, pT, formulation="laxMPC", method="FISTA", backend="fused",
+    options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000,
+                 tile_b=256)), x0, xr, ur))
+results.append(check("equMPC-FISTA-fused", sp.make_solver(
+    sys_, pE, formulation="equMPC", method="FISTA", backend="fused",
+    options=opts("equMPC", "FISTA", tol=1e-4, k_max=5000,
+                 tile_b=256)), x0, xr, ur))
+results.append(check("HMPC-ADMM-split-fused", sp.make_solver(
+    sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
+    backend="fused",
+    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
+    x0, xr, ur))
+results.append(check("HMPC-SADMM-split-fused", sp.make_solver(
+    sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
+    backend="fused",
+    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
+    x0, xr, ur))
 print("ALL CONVERGED" if all(c == 1.0 for c in results) else "FAILURES")
