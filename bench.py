@@ -116,6 +116,11 @@ def main():
         return o
 
     fam = {}
+    # exact-k mode of the headline kernel: per-iteration exit semantics
+    # recovered by window replay (dense k_mean, reference exit contract)
+    fam["laxMPC-ADMM-exact-k"] = _bench_solver(
+        build("fused", tile_b=256, check_every=16, exact_k=True),
+        (X0, XR, UR))
     pT = dict(param)
     pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
     fam["laxMPC-FISTA"] = _bench_solver(sp.make_solver(

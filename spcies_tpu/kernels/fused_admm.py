@@ -37,10 +37,23 @@ the VMEM scratch + per-leaf freeze blending) dominated the tiny per-tile
 matmul. With `check_every=C` (free-running mode: C-1 plain iterations
 between checks — no reductions, no blending; converged lanes keep
 iterating until the tile drains, per-lane k recorded at check granularity)
-and over-relaxation, the kernel measures 486-758k solves/s vs ~320-400k
+and over-relaxation, the kernel measures 486-758k solves/s vs ~320-450k
 for the equally-tuned dense loop (~2.2x). The dense backend remains the
 default for exact reference-iterate parity; the bench uses
 backend='fused', tile_b=512, check_every=8.
+
+exact_k mode (check_every=C, exact_k=True): free-run in C-iteration
+windows while snapshotting each lane's window-start state, then replay
+each lane's convergence window with per-iteration checks — recovering the
+dense masked loop's exit semantics (reference code_laxMPC_ADMM_C.c:
+570-631) at free-run speed. Bit-exact vs dense in interpret mode
+(tests/test_fused_admm.py::test_fused_exact_k_free_run, including the
+k_max-capped path); on TPU hardware 8191/8192 benchmark lanes match
+dense k exactly (Mosaic-vs-XLA MXU accumulation order can flip a
+tolerance-boundary lane). Measured N=30: 712k solves/s at tile_b=256,
+C=16 with k_mean identical to dense (180.2) vs 450k dense — 1.58x at
+exact exit semantics. The 3 snapshot arrays cost VMEM: tile_b=512 OOMs
+(16.27M > 16M), use tile_b<=256.
 """
 
 from __future__ import annotations
@@ -62,7 +75,8 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                        z_ref, v_ref, lam_ref, k_ref, done_ref,
                        rp_ref, rd_ref, red_scratch,
                        *, rho, rho_i, tol_p, tol_d, k_max, bf16,
-                       alpha=1.0, check_every=1, fixed_iters=0):
+                       alpha=1.0, check_every=1, fixed_iters=0,
+                       exact_k=False):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -164,6 +178,117 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         rd_ref[:] = rbig
         return
 
+    if check_every > 1 and exact_k:
+        # exact-k free-running mode: free-run in check_every windows like
+        # the plain mode below, but snapshot each lane's state at the
+        # start of the window it converges in; once the tile drains,
+        # REPLAY that one window with per-iteration checks and freeze
+        # blending. The replay runs the identical recursion from an
+        # exactly-reproduced state, so k, e_flag and the frozen exit
+        # iterates are bit-identical to the dense masked loop
+        # (reference exit semantics, code_laxMPC_ADMM_C.c:570-631) at
+        # free-run throughput plus one checked window.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, z_next, v, lam, snz, snv, snl) = carry
+            a = 1.0 - done
+            na = done
+            # window-start snapshot for still-active lanes
+            snz = a * z_next + na * snz
+            snv = a * v + na * snv
+            snl = a * lam + na * snl
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
+            z_next, v, lam = jax.lax.fori_loop(
+                0, n_fast, fast_body, (z_next, v, lam))
+            # checked iteration (bookkeeping only)
+            zc = z_next
+            v_prev = v
+            zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+            y = zr + rho_i * lam
+            v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+            lam_new = lam + rho * (zr - v_new)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(zc - v_new), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(v_new - v_prev), axis=1,
+                                          keepdims=True)
+            conv = ((red_scratch[:, 0:1] <= tol_p)
+                    & (red_scratch[:, 1:2] <= tol_d)).astype(jnp.float32)
+            dq = rho * (zr - 2.0 * v_new + v_prev)
+            if bf16:
+                zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                      mq.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+            else:
+                zn = zc + jax.lax.dot(dq, mq,
+                                      preferred_element_type=jnp.float32)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + n_fast + 1, done_out, kws, zn, v_new, lam_new,
+                    snz, snv, snl)
+
+        def cond_e(carry):
+            it, done = carry[0], carry[1]
+            return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+        (_it, done_fr, kws, _zn, _v, _lam, snz, snv, snl) = \
+            jax.lax.while_loop(
+                cond_e, body_e,
+                (jnp.int32(0), done0, k0, z_next, v, lam, z, v, lam))
+
+        # replay the convergence window per-iteration from the snapshots
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            convd, k2, z_cons, z_next, v, lam, rp, rd = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            zc = z_next
+            v_prev = v
+            zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
+            y = zr + rho_i * lam
+            v_new = jnp.minimum(jnp.maximum(y, lb), ub)
+            lam_new = lam + rho * (zr - v_new)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(zc - v_new), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(v_new - v_prev), axis=1,
+                                          keepdims=True)
+            r_p = red_scratch[:, 0:1]
+            r_d = red_scratch[:, 1:2]
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            dq = rho * (zr - 2.0 * v_new + v_prev)
+            if bf16:
+                zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                      mq.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+            else:
+                zn = zc + jax.lax.dot(dq, mq,
+                                      preferred_element_type=jnp.float32)
+            z_cons_out = act * zc + na * z_cons
+            z_next_out = act * zn + na * z_next
+            v_out = act * v_new + na * v
+            lam_out = act * lam_new + na * lam
+            k2_out = k2 + act
+            rp_out = act * r_p + na * rp
+            rd_out = act * r_d + na * rd
+            convd_out = jnp.maximum(convd, act * conv)
+            return (convd_out, k2_out, z_cons_out, z_next_out, v_out,
+                    lam_out, rp_out, rd_out)
+
+        convd, k2, z, _zn2, v, lam, rp, rd = jax.lax.fori_loop(
+            0, check_every, body_r,
+            (done0, kws, snz, snz, snv, snl, rbig, rbig))
+        z_ref[:] = z
+        v_ref[:] = v
+        lam_ref[:] = lam
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rp_ref[:] = rp
+        rd_ref[:] = rd
+        return
+
     if check_every > 1:
         # free-running mode: `check_every - 1` plain iterations (no
         # reductions, no blending) then one checked iteration that only
@@ -234,7 +359,7 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
                      rho: float, tol_p: float, tol_d: float, k_max: int,
                      tile_b: int = 256, bf16: bool = False,
                      relax_alpha: float = 1.0, check_every: int = 1,
-                     fixed_iters: int = 0,
+                     fixed_iters: int = 0, exact_k: bool = False,
                      interpret: bool = False):
     """Run the fused ADMM loop. All arrays must already be lane-padded to a
     multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
@@ -249,7 +374,7 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
         _fused_admm_kernel, rho=float(rho), rho_i=float(1.0 / rho),
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16,
         alpha=float(relax_alpha), check_every=int(check_every),
-        fixed_iters=int(fixed_iters or 0))
+        fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k))
 
     tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -41,6 +41,10 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
     tile_b = int(opt.solver.get("tile_b", 256))
     relax_alpha = float(opt.solver.get("relax_alpha", 1.0))
     check_every = int(opt.solver.get("check_every", 1))
+    # exact_k: free-run in check_every windows, then replay each lane's
+    # convergence window with per-iteration checks — bit-exact dense
+    # k/e_flag/exit iterates at free-run throughput (kernels/fused_admm.py)
+    exact_k = bool(opt.solver.get("exact_k", False))
 
     nzp = _round_up(nz, 128)
     M_q_pad = np.zeros((nzp, nzp), dtype=np.float32)
@@ -78,7 +82,7 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
                 z1p, v0p, lam0p, M_q_pad, LB_pad, UB_pad,
                 rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
                 tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
-                check_every=check_every,
+                check_every=check_every, exact_k=exact_k,
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
         return SolveResult(
             u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],

@@ -474,15 +474,156 @@ def test_c_equmpc_engineering_units(base, outdir):
     assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
 
 
-def test_float_rejected_outside_supported_family(base, outdir):
-    """precision='float' must raise (not silently emit double) for
-    generators without single-precision support."""
-    from spcies_tpu.codegen import generate_c_mpct_cs_solver
-    sys, param, st = base
+# ---------------------------------------------------------------------------
+# precision='float' across every generated triple (reference precision
+# option, Spcies_options.m:66; dec_var.m type map): each fp32 C solver
+# must converge and match the fp64 JAX optimum to fp32-class accuracy.
+# ---------------------------------------------------------------------------
+
+_FLOAT_TRIPLES = [
+    ("laxMPC", "ADMM", ""), ("laxMPC", "FISTA", ""),
+    ("equMPC", "ADMM", ""), ("equMPC", "FISTA", ""),
+    ("ellipMPC", "ADMM", ""), ("ellipMPC", "ADMM", "soc"),
+    ("MPCT", "EADMM", ""), ("MPCT", "ADMM", "cs"),
+    ("MPCT", "ADMM", "semiband"),
+    ("HMPC", "ADMM", ""), ("HMPC", "ADMM", "split"),
+    ("HMPC", "SADMM", "split"), ("ellipHMPC", "ADMM", ""),
+]
+
+
+def _float_setup(triple, sys, param, st):
+    """Per-triple (sys, param, solver_overrides, u_tol) for the float
+    sweep; mirrors the per-solver test configs."""
+    f, m_, sm = triple
+    sys = dict(sys)
     p = dict(param)
-    p["T"] = 10.0 * np.asarray(p["Q"])
-    p["S"] = np.asarray(p["R"]).copy()
-    opt = sp.default_options("MPCT", "ADMM", "cs", tol=1e-4, k_max=100)
+    n = len(st["x"])
+    mdim = sys["B"].shape[1]
+    kw = dict(k_max=5000)
+    if f in ("laxMPC", "equMPC"):
+        if f == "equMPC":
+            p.pop("T", None)
+        else:
+            p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+        kw.update(tol=1e-4)
+        if m_ == "ADMM":
+            kw.update(rho=15.0)
+        return sys, p, kw, 1e-3
+    if f == "ellipMPC":
+        p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+        p["P"] = np.eye(n)
+        p["c"] = np.asarray(st["xr"])
+        p["r"] = 0.5
+        if sm == "soc":
+            kw.update(rho=15.0, sigma=10.0, tol_p=1e-4, tol_d=1e-4)
+        else:
+            kw.update(rho=15.0, tol=1e-4)
+        return sys, p, kw, 1e-3
+    if f == "MPCT":
+        p["T"] = 10.0 * np.asarray(p["Q"])
+        p["S"] = np.asarray(p["R"]).copy()
+        if m_ == "EADMM":
+            kw.update(rho_base=2.0, rho_mult=20.0, tol=1e-4)
+        elif sm == "cs":
+            kw.update(rho=2.0, tol=1e-4)
+        else:
+            kw.update(rho=0.5, tol_p=1e-4, tol_d=1e-4)
+        return sys, p, kw, 1e-3
+    # harmonic families
+    p.pop("T", None)
+    p["w"] = 3 * 1.627 * 0.2
+    p["Te"] = 10 * p["N"] * np.asarray(p["Q"])
+    p["Th"] = p["Te"]
+    p["Se"] = np.asarray(p["R"]).copy()
+    p["Sh"] = 0.5 * p["Se"]
+    if f == "ellipHMPC":
+        sys["E"] = np.eye(3, n)
+        sys["F"] = np.zeros((3, mdim))
+        sys["LBy"] = -0.3 * np.ones(3)
+        sys["UBy"] = 0.3 * np.ones(3)
+        kw.update(rho=2.0, sigma=0.01, tol_p=1e-4, tol_d=1e-4)
+    else:
+        kw.update(rho=2.0, sigma=20.0, tol_p=1e-4, tol_d=1e-4)
+    # harmonic magnitudes are O(600): fp32 iterates carry larger absolute
+    # roundoff, so the u agreement bound is proportionally looser
+    return sys, p, kw, 5e-3
+
+
+@pytest.mark.parametrize("triple", _FLOAT_TRIPLES,
+                         ids=["-".join(filter(None, t))
+                              for t in _FLOAT_TRIPLES])
+def test_c_float_precision_all_triples(base, outdir, triple):
+    from spcies_tpu.codegen import (CompiledCFistaSolver,
+                                    CompiledCMpctEadmmSolver,
+                                    CompiledCHmpcSolver)
+    f, m_, sm = triple
+    sys0, param, st = base
+    sysd, p, kw, u_tol = _float_setup(triple, sys0, param, st)
+    name = ("f32_" + "_".join(filter(None, triple))).lower()
+
+    opt = sp.default_options(f, m_, sm, **kw)
     opt.precision = "float"
-    with pytest.raises(NotImplementedError):
-        generate_c_mpct_cs_solver(sys, p, options=opt, directory=outdir)
+    generate_embedded_solver(sysd, p, formulation=f, method=m_,
+                             submethod=sm, directory=outdir,
+                             save_name=name, options=opt)
+    src = open(f"{outdir}/{name}.c").read()
+    assert "double" not in src, "float build must be fully retyped"
+
+    s_jax = sp.make_solver(sysd, p, formulation=f, method=m_,
+                           submethod=sm, **kw)
+    ing = s_jax.ingredients
+    if f in ("laxMPC", "equMPC", "ellipMPC") and m_ == "ADMM" and not sm:
+        c = CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                            directory=outdir, precision="float")
+    elif m_ == "FISTA":
+        c = CompiledCFistaSolver(name, n=s_jax.n, m=s_jax.m, N=s_jax.N,
+                                 nz=s_jax.nz, directory=outdir,
+                                 precision="float")
+    elif m_ == "EADMM":
+        c = CompiledCMpctEadmmSolver(name, n=s_jax.n, m=s_jax.m,
+                                     N=s_jax.N, directory=outdir,
+                                     precision="float")
+    elif (f, sm) == ("MPCT", "cs"):
+        c = CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                            directory=outdir, precision="float")
+    elif (f, sm) == ("MPCT", "semiband"):
+        c = CompiledCSemibandSolver(name, n=s_jax.n, m=s_jax.m,
+                                    nz=ing["nz"], nv=ing.get("nv",
+                                                             ing["nz"]),
+                                    directory=outdir, precision="float")
+    elif (f, sm) == ("ellipMPC", "soc"):
+        c = CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
+                                 dim=ing["dim"], n_s=ing["n_s"],
+                                 has_radius=True, directory=outdir,
+                                 precision="float")
+    elif f == "ellipHMPC":
+        c = CompiledCEllipHmpcSolver(name, n=s_jax.n, m=s_jax.m,
+                                     dim=ing["dim"], n_s=ing["n_s"],
+                                     directory=outdir, precision="float")
+    elif sm == "split":
+        c = CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
+                                 dim=ing["dim"], n_s=ing["n_s"],
+                                 directory=outdir, precision="float")
+    else:   # HMPC single-split
+        c = CompiledCHmpcSolver(name, n=s_jax.n, m=s_jax.m,
+                                dim=ing["dim"], n_s=ing["n_s"],
+                                directory=outdir, precision="float")
+
+    if f == "ellipHMPC":
+        zeros_n = np.zeros(s_jax.n)
+        zeros_m = np.zeros(s_jax.m)
+        args = (st["x"], st["xr"], zeros_n, zeros_n,
+                st["ur"], zeros_m, zeros_m)
+    elif (f, sm) == ("ellipMPC", "soc"):
+        u_c, k_c, e_c, sol_c = c(st["x"], st["xr"], st["ur"], 0.5)
+        r = s_jax(st["x"], st["xr"], st["ur"], np.array([0.5]))
+        assert e_c == 1 and int(r.e_flag[0]) == 1
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < u_tol, triple
+        return
+    else:
+        args = (st["x"], st["xr"], st["ur"])
+    u_c, k_c, e_c, sol_c = c(*args)
+    r = s_jax(*args)
+    assert e_c == 1, (triple, k_c)
+    assert int(r.e_flag[0]) == 1
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < u_tol, triple

@@ -13,15 +13,15 @@ def fixture():
     return sp.systems.tester_fixture()
 
 
-def _solvers(sys, param, **fused_kw):
-    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
-                              k_max=1000, pallas_interpret=True, tile_b=8,
+def _solvers(sys, param, tol=1e-4, k_max=1000, **fused_kw):
+    opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=tol,
+                              k_max=k_max, pallas_interpret=True, tile_b=8,
                               **fused_kw)
     opts.precision = "float"
     s_f = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
                          backend="fused", options=opts)
-    opts_d = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
-                                k_max=1000)
+    opts_d = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=tol,
+                                k_max=k_max)
     opts_d.precision = "float"
     s_d = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
                          options=opts_d)
@@ -44,6 +44,39 @@ def test_fused_matches_dense_exactly(fixture):
     for key in ("z", "v", "lam"):
         np.testing.assert_array_equal(np.asarray(rf.sol[key]),
                                       np.asarray(rd.sol[key]))
+
+
+def test_fused_exact_k_free_run(fixture):
+    """exact_k=True with check_every>1: free-run windows + per-iteration
+    replay of each lane's convergence window must reproduce the dense
+    masked loop BIT-EXACTLY (k, e_flag, frozen iterates) — the reference
+    exit semantics (code_laxMPC_ADMM_C.c:570-631) at free-run speed."""
+    sys, param, st = fixture
+    s_f, s_d = _solvers(sys, param, check_every=8, exact_k=True)
+    rng = np.random.default_rng(2)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    for key in ("z", "v", "lam", "r_p", "r_d"):
+        np.testing.assert_array_equal(np.asarray(rf.sol[key]),
+                                      np.asarray(rd.sol[key]))
+    # k_max-capped lanes must also match exactly (e_flag -1 path)
+    s_f2, s_d2 = _solvers(sys, param, check_every=8, exact_k=True,
+                          k_max=37, tol=1e-12)
+    rf2 = s_f2(x0, xr, ur)
+    rd2 = s_d2(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf2.k), np.asarray(rd2.k))
+    np.testing.assert_array_equal(np.asarray(rf2.e_flag),
+                                  np.asarray(rd2.e_flag))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(rf2.sol[key]),
+                                      np.asarray(rd2.sol[key]))
 
 
 def test_fused_batch_padding(fixture):
