@@ -360,13 +360,164 @@ def mpct_admm_cs_ingredients(sys: dict, param: dict, opt: Options) -> dict:
     )
 
 
+def mpct_cs_banded_ingredients(sys: dict, param: dict, opt: Options) -> dict:
+    """O(N)-memory structured ingredients for MPCT ADMM-cs — the
+    long-horizon path (the role the reference's CSR/LDL sparsity plays,
+    compute_MPCT_ADMM_cs_ingredients.m:124-141, done the TPU way: stacked
+    stage blocks + a block-tridiagonal Cholesky, never forming dense
+    H/G/W/M_q).
+
+    The multiplier rows partition into Nb = N+1 blocks of non-uniform
+    size — 2n (init + steady-state on stage 0), 2n+m per transition,
+    n (terminal x_s coupling) — padded to bmax = 2n+m with identity
+    diagonal pads (zero rhs pads keep the padded mu entries exactly 0).
+    Memory: O(N (2(n+m))^2) vs the dense path's O((N 2(n+m))^2) M_q.
+    """
+    A, B, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    Q = np.asarray(param["Q"], dtype=float)
+    R = np.asarray(param["R"], dtype=float)
+    T = np.asarray(param["T"], dtype=float)
+    S = np.asarray(param["S"], dtype=float)
+    sd = 2 * (n + m)
+    nz = N * sd
+    bmax = 2 * n + m
+
+    rho = np.asarray(opt.solver["rho"], dtype=float)
+    force_vec = bool(opt.solver.get("force_vector_rho", False))
+    rho_is_scalar = rho.ndim == 0 and not force_vec
+    rho_vec = np.full(nz, float(rho)) if rho.ndim == 0 else rho.ravel().copy()
+    if rho_vec.size != nz:
+        raise ValueError(f"rho vector must have length {nz}")
+
+    # per-stage Hessian blocks + inverses [N, sd, sd]
+    Qz = np.block([[Q, -Q], [-Q, Q + T / N]])
+    Rz = np.block([[R, -R], [-R, R + S / N]])
+    Hs = linalg.blkdiag(Qz, Rz)
+    Hinv_st = np.empty((N, sd, sd))
+    for j in range(N):
+        Hinv_st[j] = np.linalg.inv(Hs + np.diag(rho_vec[j * sd:(j + 1) * sd]))
+
+    # stage coefficient matrices of the equality rows
+    # (mpct_cs_equality_matrix layout: z_j = (x_j, x_s, u_j, u_s))
+    E0 = np.zeros((2 * n, sd))               # stage 0: init + steady state
+    E0[:n, :n] = np.eye(n)
+    E0[n:, n:2 * n] = A - np.eye(n)
+    E0[n:, 2 * n + m:] = B
+    C = np.zeros((bmax, sd))                 # transition rows on stage j-1
+    C[:n, :n] = A
+    C[:n, 2 * n:2 * n + m] = B
+    C[n:2 * n, n:2 * n] = np.eye(n)
+    C[2 * n:, 2 * n + m:] = np.eye(m)
+    D = np.zeros((bmax, sd))                 # transition rows on stage j
+    D[:n, :n] = -np.eye(n)
+    D[n:2 * n, n:2 * n] = -np.eye(n)
+    D[2 * n:, 2 * n + m:] = -np.eye(m)
+    F = np.zeros((n, sd))                    # terminal rows on stage N-1
+    F[:, :n] = A
+    F[:, n:2 * n] = -np.eye(n)
+    F[:, 2 * n:2 * n + m] = B
+
+    # padded block-tridiagonal W blocks (identity on pad diagonals)
+    Nb = N + 1
+    Wd = np.zeros((Nb, bmax, bmax))
+    Wu = np.zeros((Nb - 1, bmax, bmax))
+    Wd[0, :2 * n, :2 * n] = E0 @ Hinv_st[0] @ E0.T
+    Wd[0, 2 * n:, 2 * n:] = np.eye(m)
+    Wu[0, :2 * n, :] = E0 @ Hinv_st[0] @ C.T
+    for j in range(1, N):
+        Wd[j] = C @ Hinv_st[j - 1] @ C.T + D @ Hinv_st[j] @ D.T
+        if j < N - 1:
+            Wu[j] = D @ Hinv_st[j] @ C.T
+    Wu[N - 1, :, :n] = D @ Hinv_st[N - 1] @ F.T
+    Wd[N, :n, :n] = F @ Hinv_st[N - 1] @ F.T
+    Wd[N, n:, n:] = np.eye(bmax - n)
+    Alpha, BetaInv = linalg.band_chol_blocks_tridiag(Wd, Wu)
+
+    LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
+    eps_x = float(opt.solver["epsilon_x"])
+    eps_u = float(opt.solver["epsilon_u"])
+    LBst = np.concatenate([LBx, LBx + eps_x, LBu, LBu + eps_u])
+    UBst = np.concatenate([UBx, UBx - eps_x, UBu, UBu - eps_u])
+    LB = np.tile(LBst, N)
+    UB = np.tile(UBst, N)
+
+    return dict(
+        n=n, m=m, N=N, nz=nz, sd=sd, bmax=bmax,
+        rho_is_scalar=rho_is_scalar,
+        A=A, B=B, T=T, S=S,
+        rho_vec=rho_vec, rho_inv_vec=1.0 / rho_vec,
+        rho_scalar=float(rho) if rho.ndim == 0 else None,
+        Hinv_st=Hinv_st, E0=E0, Cst=C, Dst=D, Fst=F,
+        Alpha=Alpha, BetaInv=BetaInv, LB=LB, UB=UB,
+    )
+
+
+def _make_cs_banded_z_step(ing, dtype):
+    """z_step(q_hat, x0 | None) for the structured MPCT-cs backend:
+    z = -Hinv(q_hat + G'mu), W mu = -G Hinv q_hat - beq, all ops
+    stage-local, the band solve through the Alpha/BetaInv scan."""
+    from spcies_tpu.kernels.band_chol import band_chol_solve
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    sd, bmax = ing["sd"], ing["bmax"]
+    Hinv_st = jnp.asarray(ing["Hinv_st"], dtype)
+    E0 = jnp.asarray(ing["E0"], dtype)
+    C = jnp.asarray(ing["Cst"], dtype)
+    D = jnp.asarray(ing["Dst"], dtype)
+    F = jnp.asarray(ing["Fst"], dtype)
+    Alpha = jnp.asarray(ing["Alpha"], dtype)
+    BetaInv = jnp.asarray(ing["BetaInv"], dtype)
+
+    def hinv_apply(q):
+        return jnp.einsum("bls,lts->blt", q, Hinv_st)
+
+    def g_apply(h):
+        """G h -> padded [B, Nb, bmax] row blocks."""
+        Bsz = h.shape[0]
+        blk0 = jnp.pad(h[:, 0] @ E0.T, ((0, 0), (0, bmax - 2 * n)))
+        mid = (jnp.einsum("bls,rs->blr", h[:, :N - 1], C)
+               + jnp.einsum("bls,rs->blr", h[:, 1:], D))
+        blkN = jnp.pad(h[:, N - 1] @ F.T, ((0, 0), (0, bmax - n)))
+        return jnp.concatenate(
+            [blk0[:, None], mid, blkN[:, None]], axis=1)
+
+    def gt_apply(mu):
+        """G' mu -> [B, N, sd] stage contributions."""
+        out = jnp.einsum("blr,rs->bls", mu[:, 1:N], C)        # stage j-1
+        out = jnp.zeros(out.shape[:1] + (N, sd), dtype).at[:, :N - 1].set(
+            out)
+        out = out.at[:, 1:N].add(jnp.einsum("blr,rs->bls", mu[:, 1:N], D))
+        out = out.at[:, 0].add(mu[:, 0, :2 * n] @ E0)
+        out = out.at[:, N - 1].add(mu[:, N, :n] @ F)
+        return out
+
+    def z_step(q_hat, x0=None):
+        Bsz = q_hat.shape[0]
+        q = q_hat.reshape(Bsz, N, sd)
+        h = hinv_apply(q)
+        rhs = -g_apply(h)
+        if x0 is not None:
+            # beq nonzero only in the x_0 = x(t) rows (rhs -= beq)
+            rhs = rhs.at[:, 0, :n].add(-x0)
+        mu = band_chol_solve(rhs, Alpha, BetaInv)
+        z = -(h + hinv_apply(gt_apply(mu)))
+        return z.reshape(Bsz, -1)
+
+    return z_step
+
+
 @register_builder("MPCT", "ADMM", "cs")
 def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
                        backend: str = "dense") -> BatchedSolver:
     """MPCT via ADMM on the extended (x_i, x_s, u_i, u_s) state space
-    (code_MPCT_ADMM_cs_C.c:94-218, spcies_MPCT_ADMM_cs_solver.m)."""
-    if backend not in ("dense", "fused"):
-        raise ValueError("MPCT/ADMM-cs has dense and fused backends")
+    (code_MPCT_ADMM_cs_C.c:94-218, spcies_MPCT_ADMM_cs_solver.m).
+    backend='banded' is the O(N)-memory long-horizon path (stage-local
+    ops + block-tridiagonal Cholesky scan, mpct_cs_banded_ingredients)."""
+    if backend not in ("dense", "fused", "banded"):
+        raise ValueError(
+            "MPCT/ADMM-cs has dense, banded and fused backends")
+    if backend == "banded":
+        return _build_mpct_cs_banded(sys, param, opt)
     ing = mpct_admm_cs_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -426,6 +577,45 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
                                     **hist_sol_entries(hist)))
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+
+
+def _build_mpct_cs_banded(sys: dict, param: dict,
+                          opt: Options) -> BatchedSolver:
+    ing = mpct_cs_banded_ingredients(sys, param, opt)
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    rho = (dtype(ing["rho_scalar"]) if ing["rho_is_scalar"]
+           else jnp.asarray(ing["rho_vec"], dtype))
+    rho_i = (dtype(1.0 / ing["rho_scalar"]) if ing["rho_is_scalar"]
+             else jnp.asarray(ing["rho_inv_vec"], dtype))
+    LB = jnp.asarray(ing["LB"], dtype)
+    UB = jnp.asarray(ing["UB"], dtype)
+    T = jnp.asarray(ing["T"], dtype)
+    S = jnp.asarray(ing["S"], dtype)
+    z_step = _make_cs_banded_z_step(ing, dtype)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        qstage = jnp.concatenate(
+            [jnp.zeros_like(x0), -(xr @ T.T) / N,
+             jnp.zeros_like(ur), -(ur @ S.T) / N], axis=-1)
+        q_ref = jnp.tile(qstage, (1, N))
+        z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
+            lambda q_hat: z_step(q_hat, x0),
+            lambda y: proj_box(y, LB, UB), q_ref, rho, rho_i, tol, tol,
+            k_max, batch=x0.shape[0], nz=nz, dtype=dtype, init=init,
+            fixed_iters=fixed_iters,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            z_lin=lambda dq: z_step(dq, None),
+            history=opt.debug)
+        return SolveResult(u=v[:, 2 * n:2 * n + m], k=k, e_flag=e_flag,
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
+                                    **hist_sol_entries(hist)))
+
+    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz,
+                         dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

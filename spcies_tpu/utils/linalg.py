@@ -93,6 +93,31 @@ def band_chol_blocks(W: np.ndarray, n: int, N: int):
     return Alpha, Beta
 
 
+def band_chol_blocks_tridiag(Wd: np.ndarray, Wu: np.ndarray):
+    """Alpha/BetaInv directly from the block-tridiagonal BLOCKS of W —
+    never forming dense W (the O(N)-memory long-horizon path; contrast
+    band_chol_blocks, which slices a dense W).
+
+    Wd [Nb, b, b] diagonal blocks, Wu [Nb-1, b, b] super-diagonal blocks;
+    W = U'U with U block-bidiagonal. Returns (Alpha [Nb-1, b, b] =
+    U_{i,i+1}, BetaInv [Nb, b, b] = inv(U_ii)) in the form
+    kernels.band_chol.band_chol_solve consumes. O(Nb b^3) offline."""
+    import scipy.linalg as sla
+    Nb, b, _ = Wd.shape
+    Alpha = np.zeros((Nb - 1, b, b))
+    BetaInv = np.zeros((Nb, b, b))
+    prev = np.zeros((b, b))
+    eye = np.eye(b)
+    for i in range(Nb):
+        S = Wd[i] - prev.T @ prev
+        U = sla.cholesky(S, lower=False)
+        BetaInv[i] = sla.solve_triangular(U, eye, lower=False)
+        if i < Nb - 1:
+            Alpha[i] = sla.solve_triangular(U.T, Wu[i], lower=True)
+            prev = Alpha[i]
+    return Alpha, BetaInv
+
+
 def full2csr(M: np.ndarray, tol: float = 1e-14):
     """Dense -> CSR triplet (val, col, row_ptr), the host-side analogue of
     +sp_utils/full2CSR.m. Only used offline; online TPU kernels use

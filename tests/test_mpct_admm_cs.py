@@ -74,3 +74,58 @@ def test_batched_masking(solver, fixture):
         np.testing.assert_allclose(np.asarray(batched.sol["z"][i]),
                                    np.asarray(solo.sol["z"][0]),
                                    rtol=0, atol=1e-12)
+
+
+def test_banded_backend_matches_dense(fixture):
+    """backend='banded' (O(N)-memory structured path: stage-local G/Hinv
+    ops + block-tridiagonal Cholesky scan, never forming dense M_q) must
+    reproduce the dense backend to fp64 roundoff."""
+    sys, param, st = fixture
+    kw = dict(rho=1e-2, tol=1e-7, k_max=5000)
+    s_b = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                         submethod="cs", backend="banded", **kw)
+    s_d = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                         submethod="cs", **kw)
+    rng = np.random.default_rng(31)
+    B = 4
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rb = s_b(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rb.k), np.asarray(rd.k))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_allclose(np.asarray(rb.sol[key]),
+                                   np.asarray(rd.sol[key]), atol=1e-9)
+
+
+def test_banded_long_horizon_n120(fixture):
+    """The long-horizon contract (VERDICT r1 next-#8): N=120 MPCT-cs via
+    the structured backend matches the fp64 oracle, with O(N) online
+    ingredient memory vs the dense path's O(N^2) baked M_q.
+
+    Memory note at N=120, n=6, m=2 (sd=16): dense M_q is
+    (120*16)^2 = 3.69M doubles (~29 MB); the structured ingredients are
+    N*sd^2 (Hinv stages) + (N+1)*bmax^2 (Alpha/BetaInv) ~ 0.07M doubles
+    (~0.6 MB) — a 50x reduction that grows linearly with N."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["N"] = 120
+    kw = dict(rho=1e-2, tol=1e-6, k_max=5000)
+    s_b = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                         submethod="cs", backend="banded", **kw)
+    # ingredient memory really is O(N): no array anywhere near nz^2
+    nz = 120 * 16
+    for key, arr in s_b.ingredients.items():
+        if isinstance(arr, np.ndarray):
+            assert arr.size < nz * 40, (key, arr.shape)
+    res = s_b(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
+    u_o, k_o, e_o, sol_o = mpct_admm_cs_oracle(
+        sys, p, st["x"], st["xr"], st["ur"], **kw)
+    assert e_o == 1
+    assert int(res.k[0]) == k_o
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(res.sol[key][0])
+                             - sol_o[key])) < 1e-8
+    assert np.max(np.abs(np.asarray(res.u[0]) - u_o)) < 1e-9

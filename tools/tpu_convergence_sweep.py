@@ -68,6 +68,12 @@ results.append(check("HMPC-SADMM-split", sp.make_solver(
     options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur))
 
+results.append(check("MPCT-ADMM-cs-banded", sp.make_solver(
+    sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
+    backend="banded",
+    options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=1e-4, k_max=5000)),
+    x0, xr, ur))
+
 # fused Pallas backends (compiled, not interpret) — hardware numerics
 results.append(check("laxMPC-FISTA-fused", sp.make_solver(
     sys_, pT, formulation="laxMPC", method="FISTA", backend="fused",
