@@ -657,13 +657,24 @@ def mpct_semiband_equality_matrix(A: np.ndarray, B: np.ndarray, N: int):
 
 
 def mpct_admm_semiband_ingredients(sys: dict, param: dict,
-                                   opt: Options) -> dict:
+                                   opt: Options,
+                                   structured: bool = False) -> dict:
     """Offline ingredients (compute_MPCT_ADMM_semiband_ingredients.m).
 
-    TPU-native: the reference's two-level Woodbury (banded Gamma_hat +
-    rank-2(n+m) correction, ECC'24) exists to avoid dense factorization on
-    embedded CPUs; here the same KKT solve collapses into the dense affine
-    map z = M_q p + M_b x0 — algebraically identical, one MXU matmul online.
+    TPU-native, two arms:
+      structured=False — the reference's two-level Woodbury (banded
+        Gamma_hat + rank-2(n+m) correction, ECC'24) exists to avoid dense
+        factorization on embedded CPUs; here the same KKT solve collapses
+        into the dense affine map z = M_q p + M_b x0 — algebraically
+        identical, one MXU matmul online. O(N^2) memory; right for the
+        contracted N~10-30.
+      structured=True — the long-horizon path keeping the reference's
+        O(N) memory (compute_MPCT_ADMM_semiband_ingredients.m:163-227):
+        per-stage Hhat block inverses, the level-1 Woodbury factors of the
+        rank-2(n+m) stage<->terminal cost coupling (Gu/Gv/K1), the
+        block-tridiagonal Cholesky of Gamma_tilde = G Gamma_hat^-1 G'
+        (Alpha/BetaInv), and the level-2 correction (Pu/Vt/K2). Every
+        stored array is O(N (n+m)^2).
     """
     A, B, n, m = get_sys_matrices(sys)
     N = int(param["N"])
@@ -713,17 +724,99 @@ def mpct_admm_semiband_ingredients(sys: dict, param: dict,
     H[:N * nm, -nm:] = np.tile(-QR, (N, 1))
     H[-nm:, :N * nm] = np.tile(-QR, (1, N))
 
-    if constrained_output:
-        Hhat = H + C_tilde.T @ (rho_vec[:, None] * C_tilde)
+    structured_keys = {}
+    if structured:
+        # --- O(N)-memory arm -------------------------------------------
+        # Hhat = Gamma_hat + U V' with Gamma_hat = blkdiag of the per-stage
+        # blocks below and the rank-2(n+m) stage<->terminal coupling
+        # Y = 1_N (x) (-QR) (compute_MPCT_ADMM_semiband_ingredients.m:
+        # 118-132). U = [1_N(x)I, 0; 0, I], V = [0, 1_N(x)(-QR); -QR, 0].
+        Nb = N + 2
+        rho_st = rho_vec.reshape(N + 1, sv)
+        QT = linalg.blkdiag(N * Q + T, N * R + S)
+        blocks = np.empty((N + 1, nm, nm))
+        for i in range(N + 1):
+            Hst = QR if i < N else QT
+            if constrained_output:
+                blocks[i] = Hst + stage_map.T @ (rho_st[i][:, None]
+                                                 * stage_map)
+            else:
+                blocks[i] = Hst + np.diag(rho_st[i])
+        blocks_inv = np.linalg.inv(blocks)
+        # level-1 Woodbury: Hhat^-1 = Gamma^-1 - Gu K1 Gv' with
+        # Gu = Gamma^-1 U, Gv = Gamma^-1 V, K1 = (I + V' Gu)^-1
+        Gu = np.zeros((nz, 2 * nm))
+        Gv = np.zeros((nz, 2 * nm))
+        for i in range(N):
+            Gu[i * nm:(i + 1) * nm, :nm] = blocks_inv[i]
+            Gv[i * nm:(i + 1) * nm, nm:] = -blocks_inv[i] @ QR
+        Gu[N * nm:, nm:] = blocks_inv[N]
+        Gv[N * nm:, :nm] = -blocks_inv[N] @ QR
+        VtGu = np.zeros((2 * nm, 2 * nm))
+        VtGu[:nm] = -QR @ Gu[N * nm:]
+        VtGu[nm:] = -QR @ Gu[:N * nm].reshape(N, nm, 2 * nm).sum(axis=0)
+        K1 = np.linalg.inv(np.eye(2 * nm) + VtGu)
+        # Gamma_tilde = G Gamma^-1 G' is block tridiagonal in n x n blocks
+        # (row blocks: x_0 pin, N dynamics rows, equilibrium row)
+        E = np.hstack([np.eye(n), np.zeros((n, m))])
+        Cst = np.hstack([A, B])
+        Dst = np.hstack([-np.eye(n), np.zeros((n, m))])
+        Eq = np.hstack([A - np.eye(n), B])
+        Wd = np.zeros((Nb, n, n))
+        Wu = np.zeros((Nb - 1, n, n))
+        Wd[0] = blocks_inv[0][:n, :n]
+        Wu[0] = (E @ blocks_inv[0]) @ Cst.T
+        for k in range(1, N + 1):
+            Wd[k] = (Cst @ blocks_inv[k - 1] @ Cst.T
+                     + Dst @ blocks_inv[k] @ Dst.T)
+            if k < N:
+                Wu[k] = Dst @ blocks_inv[k] @ Cst.T
+        Wu[N] = Dst @ blocks_inv[N] @ Eq.T
+        Wd[N + 1] = Eq @ blocks_inv[N] @ Eq.T
+        Alpha, BetaInv = linalg.band_chol_blocks_tridiag(Wd, Wu)
+
+        def _g_np(Z):
+            """G Z columnwise (offline, structural)."""
+            Zs = Z.reshape(N + 1, nm, -1)
+            out = np.empty((Nb * n, Z.shape[1]))
+            out[:n] = Zs[0, :n]
+            for k in range(N):
+                out[(k + 1) * n:(k + 2) * n] = (
+                    A @ Zs[k][:n] + B @ Zs[k][n:] - Zs[k + 1][:n])
+            out[-n:] = (A - np.eye(n)) @ Zs[N][:n] + B @ Zs[N][n:]
+            return out
+
+        # level-2 Woodbury: W = Gamma_tilde - Ut K1 Vt' with Ut = G Gu,
+        # Vt = G Gv; W^-1 r = Gt^-1 r + Pu K2 Vt' Gt^-1 r,
+        # Pu = Gt^-1 Ut, K2 = (K1^-1 - Vt' Pu)^-1. The dense Gamma_tilde
+        # below is an offline-only temporary.
+        Ut = _g_np(Gu)
+        Vt = _g_np(Gv)
+        Gt = np.zeros((Nb * n, Nb * n))
+        for k in range(Nb):
+            Gt[k * n:(k + 1) * n, k * n:(k + 1) * n] = Wd[k]
+            if k < Nb - 1:
+                Gt[k * n:(k + 1) * n, (k + 1) * n:(k + 2) * n] = Wu[k]
+                Gt[(k + 1) * n:(k + 2) * n, k * n:(k + 1) * n] = Wu[k].T
+        Pu = np.linalg.solve(Gt, Ut)
+        K2 = np.linalg.inv(np.eye(2 * nm) + VtGu - Vt.T @ Pu)
+        M_q = M_b = None
+        structured_keys = dict(
+            blocks_inv=blocks_inv, Gu=Gu, Gv=Gv, K1=K1,
+            Alpha=Alpha, BetaInv=BetaInv, Pu=Pu, Vt=Vt, K2=K2, B=B,
+            stage_map=stage_map if constrained_output else None)
     else:
-        Hhat = H + np.diag(rho_vec)
-    Hinv = np.linalg.inv(Hhat)
-    G = mpct_semiband_equality_matrix(A, B, N)
-    W = G @ Hinv @ G.T
-    GH = G @ Hinv
-    Winv = np.linalg.inv(W)
-    M_q = GH.T @ (Winv @ GH) - Hinv
-    M_b = GH.T @ Winv[:, :n]
+        if constrained_output:
+            Hhat = H + C_tilde.T @ (rho_vec[:, None] * C_tilde)
+        else:
+            Hhat = H + np.diag(rho_vec)
+        Hinv = np.linalg.inv(Hhat)
+        G = mpct_semiband_equality_matrix(A, B, N)
+        W = G @ Hinv @ G.T
+        GH = G @ Hinv
+        Winv = np.linalg.inv(W)
+        M_q = GH.T @ (Winv @ GH) - Hinv
+        M_b = GH.T @ Winv[:, :n]
 
     # per-entry bound vectors + soft mask over v (:358-520 branch layout)
     LBx, UBx, LBu, UBu = get_bounds(sys, n, m, opt.inf_value)
@@ -764,7 +857,74 @@ def mpct_admm_semiband_ingredients(sys: dict, param: dict,
         A=A, T=T, S=S, M_q=M_q, M_b=M_b, C_tilde=C_tilde,
         LBv=LBv, UBv=UBv, soft_mask=soft_mask,
         beta=beta, soft=soft, constrained_output=constrained_output,
+        **structured_keys,
     )
+
+
+def _make_semiband_structured_z_step(ing, dtype):
+    """z_step(p, x0 | None) for the O(N)-memory semiband backend — the
+    TPU rendering of the reference's Alg. 2 two-level Woodbury
+    (code_MPCT_ADMM_semiband_C.c:119-496): block-diagonal Gamma_hat
+    solves + rank-2(n+m) level-1 correction, block-tridiagonal Cholesky
+    scan on Gamma_tilde + level-2 correction. All online ops are
+    stage-local batched small matmuls; nothing O(N^2) is materialized."""
+    from spcies_tpu.kernels.band_chol import band_chol_solve
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    nm = n + m
+    Nb = N + 2
+    Bi = jnp.asarray(ing["blocks_inv"], dtype)
+    Gu = jnp.asarray(ing["Gu"], dtype)
+    Gv = jnp.asarray(ing["Gv"], dtype)
+    K1 = jnp.asarray(ing["K1"], dtype)
+    Alpha = jnp.asarray(ing["Alpha"], dtype)
+    BetaInv = jnp.asarray(ing["BetaInv"], dtype)
+    Pu = jnp.asarray(ing["Pu"], dtype)
+    Vt = jnp.asarray(ing["Vt"], dtype)
+    K2 = jnp.asarray(ing["K2"], dtype)
+    A_ = jnp.asarray(ing["A"], dtype)
+    B_ = jnp.asarray(ing["B"], dtype)
+    AmI = A_ - jnp.eye(n, dtype=dtype)
+
+    def hinv(x):
+        """Hhat^-1 x = Gamma^-1 x - Gu K1 (Gv' x) (level-1 Woodbury)."""
+        xs = x.reshape(-1, N + 1, nm)
+        gx = jnp.einsum("bls,lts->blt", xs, Bi).reshape(x.shape)
+        return gx - ((x @ Gv) @ K1.T) @ Gu.T
+
+    def g_apply(h):
+        """G h -> [B, Nb, n] row blocks (x_0 pin, dynamics, equilibrium)."""
+        hs = h.reshape(-1, N + 1, nm)
+        hx, hu = hs[..., :n], hs[..., n:]
+        r0 = hx[:, 0]
+        rdyn = (jnp.einsum("blj,ij->bli", hx[:, :N], A_)
+                + jnp.einsum("blj,ij->bli", hu[:, :N], B_)
+                - hx[:, 1:])
+        rlast = hx[:, N] @ AmI.T + hu[:, N] @ B_.T
+        return jnp.concatenate([r0[:, None], rdyn, rlast[:, None]], axis=1)
+
+    def gt_apply(mu):
+        """G' mu -> flat [B, nz] stage contributions."""
+        gx = jnp.einsum("blj,ji->bli", mu[:, 1:N + 1], A_)
+        gu = jnp.einsum("blj,ji->bli", mu[:, 1:N + 1], B_)
+        gx = gx.at[:, 0].add(mu[:, 0])
+        gx = gx.at[:, 1:].add(-mu[:, 1:N])
+        tx = -mu[:, N] + mu[:, N + 1] @ AmI
+        tu = mu[:, N + 1] @ B_
+        stages = jnp.concatenate([gx, gu], axis=-1).reshape(mu.shape[0], -1)
+        return jnp.concatenate([stages, tx, tu], axis=-1)
+
+    def z_step(p, x0=None):
+        h1 = hinv(p)
+        rhs = -g_apply(h1)
+        if x0 is not None:
+            rhs = rhs.at[:, 0].add(-x0)
+        wr = band_chol_solve(rhs, Alpha, BetaInv)
+        wf = wr.reshape(wr.shape[0], -1)
+        muf = wf + ((wf @ Vt) @ K2.T) @ Pu.T
+        mu = muf.reshape(-1, Nb, n)
+        return -(h1 + hinv(gt_apply(mu)))
+
+    return z_step
 
 
 @register_builder("MPCT", "ADMM", "semiband")
@@ -773,10 +933,14 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
     """MPCT via ADMM on the semiband (non-extended) parameterization
     (code_MPCT_ADMM_semiband_C.c:119-1125,
     spcies_MPCT_ADMM_semiband_solver.m), with the reference's
-    soft-constraint and constrained-output options as static flags."""
-    if backend not in ("dense",):
-        raise ValueError("MPCT/ADMM-semiband has a dense backend")
-    ing = mpct_admm_semiband_ingredients(sys, param, opt)
+    soft-constraint and constrained-output options as static flags.
+    backend='banded' is the O(N)-memory long-horizon path (two-level
+    Woodbury as stage-local batched ops, the role the reference's
+    semiband structure plays on embedded CPUs)."""
+    if backend not in ("dense", "banded"):
+        raise ValueError("MPCT/ADMM-semiband has dense and banded backends")
+    ing = mpct_admm_semiband_ingredients(sys, param, opt,
+                                         structured=(backend == "banded"))
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz, nv = ing["n"], ing["m"], ing["N"], ing["nz"], ing["nv"]
     tol_p = float(opt.solver["tol_p"])
@@ -791,21 +955,44 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
     else:
         rho = jnp.asarray(ing["rho_vec"], dtype)
         rho_i = jnp.asarray(1.0 / ing["rho_vec"], dtype)
-    M_q = jnp.asarray(ing["M_q"], dtype)
-    M_b = jnp.asarray(ing["M_b"], dtype)
     LBv = jnp.asarray(ing["LBv"], dtype)
     UBv = jnp.asarray(ing["UBv"], dtype)
     soft_mask = jnp.asarray(ing["soft_mask"])
     beta_rho_i = ing["beta"] * rho_i
     T = jnp.asarray(ing["T"], dtype)
     S = jnp.asarray(ing["S"], dtype)
-    Ct = (jnp.asarray(ing["C_tilde"], dtype) if con_out else None)
+    sv = ing["nv"] // (N + 1)
 
-    def ct_apply(z):
-        return z @ Ct.T if con_out else z
+    if backend == "banded":
+        zs_structured = _make_semiband_structured_z_step(ing, dtype)
+        z_step_lin = lambda dp: zs_structured(dp, None)
+        # stage-local C~ applies (C~ is block diagonal with one shared
+        # stage map), keeping the constrained-output path O(N)
+        Smap = (jnp.asarray(ing["stage_map"], dtype) if con_out else None)
 
-    def ct_t_apply(y):
-        return y @ Ct if con_out else y
+        def ct_apply(z):
+            if not con_out:
+                return z
+            zt = jnp.einsum("bls,ts->blt", z.reshape(-1, N + 1, n + m),
+                            Smap)
+            return zt.reshape(z.shape[0], -1)
+
+        def ct_t_apply(y):
+            if not con_out:
+                return y
+            ys = jnp.einsum("blt,ts->bls", y.reshape(-1, N + 1, sv), Smap)
+            return ys.reshape(y.shape[0], -1)
+    else:
+        M_q = jnp.asarray(ing["M_q"], dtype)
+        M_b = jnp.asarray(ing["M_b"], dtype)
+        z_step_lin = lambda dp: delta_dot(dp, M_q.T)
+        Ct = (jnp.asarray(ing["C_tilde"], dtype) if con_out else None)
+
+        def ct_apply(z):
+            return z @ Ct.T if con_out else z
+
+        def ct_t_apply(y):
+            return y @ Ct if con_out else y
 
     def proj(y):
         hard = proj_box(y, LBv, UBv)
@@ -827,8 +1014,12 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
         else:
             z0_, v0, lam0 = init
 
-        def z_step(pvec):
-            return pvec @ M_q.T + x0 @ M_b.T
+        if backend == "banded":
+            def z_step(pvec):
+                return zs_structured(pvec, x0)
+        else:
+            def z_step(pvec):
+                return pvec @ M_q.T + x0 @ M_b.T
 
         rinf = jnp.full((Bsz,), jnp.inf, dtype=dtype)
         p0 = q + ct_t_apply(lam0 - rho * v0)
@@ -847,7 +1038,7 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
             conv = (r_p <= tol_p) & (r_d <= tol_d)
             # delta-form: dp = C~'(dlam - rho dv) = C~'(rho(zt - 2v + v_prev))
             dp = ct_t_apply(rho * (zt - 2.0 * v + v_prev))
-            z_next = z + delta_dot(dp, M_q.T)
+            z_next = z + z_step_lin(dp)
             return (dict(z=z, z_next=z_next, v=v, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 

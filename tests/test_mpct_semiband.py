@@ -114,3 +114,85 @@ def test_soft_constrained_output_vs_oracle(fixture):
     assert int(res.k[0]) == k_o
     for key in ("z", "v", "lam"):
         assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# O(N)-memory structured backend (two-level Woodbury, backend='banded')
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("extra", [
+    dict(),
+    dict(soft_constraints=True, beta=1.0),
+    dict(constrained_output=True),
+    dict(soft_constraints=True, constrained_output=True, beta=2.0),
+])
+def test_banded_backend_matches_dense(fixture, extra):
+    """backend='banded' (stage-local two-level Woodbury,
+    compute_MPCT_ADMM_semiband_ingredients.m:163-227 structure) must
+    reproduce the dense affine-map backend iterate-for-iterate."""
+    sys, param, st = fixture
+    if extra.get("constrained_output"):
+        sys = dict(sys)
+        n, m = len(st["x"]), 2
+        sys["C"] = np.eye(3, n)
+        sys["D"] = np.zeros((3, m))
+        sys["LBy"] = -0.25 * np.ones(3)
+        sys["UBy"] = 0.25 * np.ones(3)
+    opts = {**OPTS, **extra}
+    sd = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", **opts)
+    sb = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", backend="banded", **opts)
+    rd = sd(st["x"], st["xr"], st["ur"])
+    rb = sb(st["x"], st["xr"], st["ur"])
+    assert int(rb.e_flag[0]) == 1
+    assert int(rb.k[0]) == int(rd.k[0])
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rb.sol[key])
+                             - np.asarray(rd.sol[key]))) < 1e-8
+    assert np.max(np.abs(np.asarray(rb.u) - np.asarray(rd.u))) < 1e-9
+
+
+def test_banded_backend_long_horizon(fixture):
+    """N=120: the horizon regime the reference's semiband structure exists
+    for (O(N) memory; the dense M_q would be (121*8)^2). Banded matches
+    dense and every stored banded array stays O(N)."""
+    sys, param, st = fixture
+    param = dict(param)
+    param["N"] = 120
+    opts = dict(rho=0.5, tol_p=1e-6, tol_d=1e-6, k_max=3000)
+    sd = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", **opts)
+    sb = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", backend="banded", **opts)
+    rd = sd(st["x"], st["xr"], st["ur"])
+    rb = sb(st["x"], st["xr"], st["ur"])
+    assert int(rb.e_flag[0]) == 1
+    assert int(rb.k[0]) == int(rd.k[0])
+    assert np.max(np.abs(np.asarray(rb.u) - np.asarray(rd.u))) < 1e-9
+    # memory contract: nothing O(N^2) in the banded ingredient set
+    ing = sb.ingredients
+    assert ing["M_q"] is None
+    nz = ing["nz"]
+    for key in ("blocks_inv", "Gu", "Gv", "Alpha", "BetaInv", "Pu", "Vt"):
+        assert np.asarray(ing[key]).size < nz * 20 * (ing["n"] + ing["m"])
+
+
+def test_banded_backend_vector_rho(fixture):
+    """Per-entry rho (force_vector_rho analogue) through the structured
+    stage blocks."""
+    sys, param, st = fixture
+    n, m, N = len(st["x"]), 2, int(param["N"])
+    nv = (N + 1) * (n + m)
+    rng = np.random.default_rng(3)
+    rho_vec = 0.3 + 0.4 * rng.random(nv)
+    opts = dict(rho=rho_vec, tol_p=1e-7, tol_d=1e-7, k_max=5000)
+    sd = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", **opts)
+    sb = sp.make_solver(sys, param, formulation="MPCT", method="ADMM",
+                        submethod="semiband", backend="banded", **opts)
+    rd = sd(st["x"], st["xr"], st["ur"])
+    rb = sb(st["x"], st["xr"], st["ur"])
+    assert int(rb.e_flag[0]) == 1
+    assert int(rb.k[0]) == int(rd.k[0])
+    assert np.max(np.abs(np.asarray(rb.u) - np.asarray(rd.u))) < 1e-9

@@ -73,6 +73,11 @@ results.append(check("MPCT-ADMM-cs-banded", sp.make_solver(
     backend="banded",
     options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=1e-4, k_max=5000)),
     x0, xr, ur))
+results.append(check("MPCT-semiband-banded", sp.make_solver(
+    sys_, pM, formulation="MPCT", method="ADMM", submethod="semiband",
+    backend="banded",
+    options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=1e-4,
+                 tol_d=1e-4, k_max=5000)), x0, xr, ur))
 
 # fused Pallas backends (compiled, not interpret) — hardware numerics
 results.append(check("laxMPC-FISTA-fused", sp.make_solver(
