@@ -135,15 +135,124 @@ def mpct_eadmm_ingredients(sys: dict, param: dict, opt: Options) -> dict:
     )
 
 
+def _build_mpct_eadmm_fused(ing, opt):
+    """'fused' backend for the 3-block EADMM loop (kernels/fused_eadmm.py):
+    the whole iteration VMEM-resident in the broadcast lane layout, the
+    A1/A3 coupling applies elementwise and the A2/W2 block folded into
+    two offline Z x Z constants."""
+    from spcies_tpu.kernels.fused_admm import _round_up
+    from spcies_tpu.kernels.fused_eadmm import fused_eadmm_solve
+
+    if opt.precision != "float":
+        raise ValueError("the fused backend is the fp32 production path; "
+                         "use backend='dense' for fp64 verification")
+    n, m, N, nm = ing["n"], ing["m"], ing["N"], ing["nm"]
+    nz1 = ing["nz1"]
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    tile_b = int(opt.solver.get("tile_b", 256))
+    check_every = int(opt.solver.get("check_every", 1))
+    interpret = bool(opt.solver.get("pallas_interpret", False))
+
+    Z = _round_up(nz1, 128)
+    rho = ing["rho"]
+    # z2 block folded offline: v(mid rows) @ C2m + v(tail rows) @ C2t =
+    # tile(W2 (A2' v), N+1)  — blocksum (A2mid), W2 map, broadcast (BC)
+    W2BC = ing["W2"].T @ np.tile(np.eye(nm), (1, N + 1))    # [nm, nz1]
+    A2mid = np.tile(np.eye(nm), (N + 1, 1))                 # [nz1, nm]
+    C2m = np.zeros((Z, Z), np.float32)
+    C2m[:nz1, :nz1] = A2mid @ W2BC
+    C2t = np.zeros((Z, Z), np.float32)
+    C2t[N * nm:nz1, :nz1] = W2BC
+    M3p = np.zeros((Z, Z), np.float32)
+    M3p[:nz1, :nz1] = ing["M3"].T
+
+    def _rowz():
+        return np.zeros((1, Z), np.float32)
+
+    rm_row = _rowz()
+    rm_row[0, :nz1] = rho[n:n + nz1]
+    rht_row = _rowz()
+    rht_row[0, :n] = rho[:n]
+    rht_row[0, N * nm:nz1] = rho[-nm:]
+    mh_row = _rowz()
+    mh_row[0, :n] = 1.0
+    mt_row = _rowz()
+    mt_row[0, N * nm:nz1] = 1.0
+    mr_row = _rowz()
+    mr_row[0, :nz1] = 1.0
+    h1i_row = _rowz()
+    h1i_row[0, :nz1] = ing["H1i"]
+    lb_row = _rowz()
+    lb_row[0, :nz1] = np.maximum(ing["LB"], -1e30)
+    ub_row = _rowz()
+    ub_row[0, :nz1] = np.minimum(ing["UB"], 1e30)
+    consts = tuple(jnp.asarray(a) for a in (
+        C2m, C2t, M3p, rm_row, rht_row, mh_row, mt_row, mr_row,
+        h1i_row, lb_row, ub_row))
+    W2j = jnp.asarray(ing["W2"], jnp.float32)
+    Tj = jnp.asarray(ing["T"], jnp.float32)
+    Sj = jnp.asarray(ing["S"], jnp.float32)
+
+    def _solve(x0, xr, ur, init, fixed_iters):
+        if fixed_iters is not None:
+            raise ValueError("fixed_iters is not supported by the fused "
+                             "EADMM backend; use backend='dense'")
+        Bsz = x0.shape[0]
+        q2_ref = -jnp.concatenate([xr @ Tj.T, ur @ Sj.T], axis=-1)
+        z2ref = q2_ref @ W2j.T             # highest-precision context
+        Bp = _round_up(Bsz, tile_b)
+
+        def padB(a):
+            return jnp.pad(a, ((0, Bp - Bsz), (0, Z - a.shape[1])))
+
+        x0b = padB(x0)                     # x0 at the head lanes
+        z2refb = padB(jnp.tile(z2ref, (1, N + 1)))
+        if init is None:
+            z2b0 = jnp.zeros((Bp, Z), jnp.float32)
+            z30 = jnp.zeros((Bp, Z), jnp.float32)
+            lm0 = jnp.zeros((Bp, Z), jnp.float32)
+            lht0 = jnp.zeros((Bp, Z), jnp.float32)
+        else:
+            _z1i, z2i, z3i, lami = init
+            z2b0 = padB(jnp.tile(z2i, (1, N + 1)))
+            z30 = padB(z3i)
+            lm0 = padB(lami[:, n:n + nz1])
+            lht0 = (jnp.zeros((Bp, Z), jnp.float32)
+                    .at[:Bsz, :n].set(lami[:, :n])
+                    .at[:Bsz, N * nm:nz1].set(lami[:, -nm:]))
+        import jax as _jax
+        with _jax.default_matmul_precision("default"):
+            (z1, z2b, z3, lm, lht, k, e_flag,
+             r_pf, r_z2, r_z3) = fused_eadmm_solve(
+                x0b, z2refb, z2b0, z30, lm0, lht0, *consts,
+                tol=tol, k_max=k_max, tile_b=tile_b,
+                check_every=check_every, interpret=interpret)
+        lam = jnp.concatenate(
+            [lht[:Bsz, :n], lm[:Bsz, :nz1], lht[:Bsz, N * nm:nz1]],
+            axis=-1)
+        return SolveResult(
+            u=z1[:Bsz, n:n + m], k=k[:Bsz], e_flag=e_flag[:Bsz],
+            sol=dict(z1=z1[:Bsz, :nz1], z2=z2b[:Bsz, :nm],
+                     z3=z3[:Bsz, :nz1], lam=lam,
+                     r_pf=r_pf[:Bsz], r_z2=r_z2[:Bsz], r_z3=r_z3[:Bsz]))
+
+    return _solve
+
+
 @register_builder("MPCT", "EADMM")
 def build_mpct_eadmm(sys: dict, param: dict, opt: Options,
                      backend: str = "dense") -> BatchedSolver:
-    if backend not in ("dense",):
-        raise ValueError("MPCT/EADMM has a dense backend")
+    if backend not in ("dense", "fused"):
+        raise ValueError("MPCT/EADMM has dense and fused backends")
     ing = mpct_eadmm_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nm = ing["n"], ing["m"], ing["N"], ing["nm"]
     nz1, nrow = ing["nz1"], ing["nrow"]
+    if backend == "fused":
+        _solve_f = _build_mpct_eadmm_fused(ing, opt)
+        return BatchedSolver(_solve_f, ing, opt, n=n, m=m, N=N, nz=nz1,
+                             dtype=dtype)
     tol = float(opt.solver["tol"])
     k_max = int(opt.solver["k_max"])
 

@@ -80,6 +80,10 @@ results.append(check("MPCT-semiband-banded", sp.make_solver(
                  tol_d=1e-4, k_max=5000)), x0, xr, ur))
 
 # fused Pallas backends (compiled, not interpret) — hardware numerics
+results.append(check("MPCT-EADMM-fused", sp.make_solver(
+    sys_, pM, formulation="MPCT", method="EADMM", backend="fused",
+    options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0, tol=1e-4,
+                 k_max=5000, tile_b=256)), x0, xr, ur))
 results.append(check("laxMPC-FISTA-fused", sp.make_solver(
     sys_, pT, formulation="laxMPC", method="FISTA", backend="fused",
     options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000,
