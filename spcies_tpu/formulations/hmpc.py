@@ -629,6 +629,169 @@ def _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric: bool):
                          dtype=jnp.float32)
 
 
+def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
+    """O(N)-memory KKT maps for the two-block split HMPC solvers — the
+    harmonic analogue of MPCT-semiband's two-level structure
+    (mpct._make_semiband_structured_z_step).
+
+    The harmonic KKT is an arrowhead: Hz = H + sigma I = Gamma + Us Vs'
+    where Gamma is block-diagonal (per-stage cost blocks + the small
+    harmonic block Hc) and Us Vs' is the rank-2r stage<->harmonic cost
+    coupling (r = 3(n+m), the H12/H13 border of harmonic_hessian). With
+    the level-1 Woodbury Hz^-1 = Gamma^-1 - Gu K1 Gv', the dual system
+    Gt = Gh Gammah^-1 Gh' is block-tridiagonal over the N dynamics rows
+    plus a dense O(1) tail (the 3n equilibrium rows and the n_s cone rows,
+    which touch only the harmonic block), so W = Gt - Ut K1 Vt' solves as
+    band-Cholesky scan + tail Schur complement + level-2 Woodbury. All
+    online ops are stage-local; nothing O(N^2) is materialized at runtime
+    (dense Gt/Gamma^-1 below are offline-only temporaries, as in the
+    semiband backend). Replaces the reference's permuted sparse LDL
+    (compute_HMPC_ADMM_ingredients.m:241-250) for long horizons.
+
+    Returns (kkt_full(qz, qs, x0), kkt_lin(dqz, dqs)) computing
+    aux = Hh^-1 Gh' W^-1 (Gh Hh^-1 q + bh) - Hh^-1 q, i.e. the action of
+    the dense path's (M1, M2) without forming them."""
+    from spcies_tpu.kernels.band_chol import band_chol_solve
+    n, m, N = ing["n"], ing["m"], ing["N"]
+    ns, dim, n_eq, n_s = ing["ns"], ing["dim"], ing["n_eq"], ing["n_s"]
+    if not ing["box_constraints"]:
+        raise ValueError(
+            "the banded HMPC split backend supports box constraints only "
+            "(coupled-output cone rows are stage-local and keep the dense "
+            "backend); use backend='dense'")
+    if N < 3:
+        raise ValueError("the banded HMPC backend requires N >= 3")
+    nm = n + m
+    r = 3 * nm
+    H, G, C = ing["H"], ing["G"], ing["C"]
+    A_np = ing["A"]
+    B_np = ing["B"]
+    d_np = ing["d"]
+
+    # --- offline: level-1 arrowhead Woodbury --------------------------
+    D0 = H[:m, :m] + sigma_f * np.eye(m)
+    Dj = H[m:m + nm, m:m + nm] + sigma_f * np.eye(nm)  # shared, stages 1..N-1
+    Hc = H[ns:, ns:] + sigma_f * np.eye(r)
+    D0i = np.linalg.inv(D0)
+    Dji = np.linalg.inv(Dj)
+    Hci = np.linalg.inv(Hc)
+    Uc = H[:ns, ns:]                                   # stage<->harmonic border
+    Us = np.zeros((dim, 2 * r))
+    Us[:ns, r:] = Uc
+    Us[ns:, :r] = np.eye(r)
+    Vs = np.zeros((dim, 2 * r))
+    Vs[:ns, :r] = Uc
+    Vs[ns:, r:] = np.eye(r)
+    Gzi = linalg.blkdiag(D0i, *([Dji] * (N - 1)), Hci)  # offline temporary
+    Gu_np = Gzi @ Us
+    Gv_np = Gzi @ Vs
+    K1_np = np.linalg.inv(np.eye(2 * r) + Vs.T @ Gu_np)
+
+    # --- offline: banded + tail dual system ---------------------------
+    Ghz = np.vstack([G, C])
+    Gt = Ghz @ Gzi @ Ghz.T
+    Gt[n_eq:, n_eq:] += (1.0 / rho_f) * np.eye(n_s)
+    Nn = N * n
+    nt = (n_eq + n_s) - Nn                             # 3n + n_s tail
+    Wb = Gt[:Nn, :Nn]
+    Pfull = Gt[:Nn, Nn:]
+    Wt = Gt[Nn:, Nn:]
+    # structural sanity: tail couples only through the last dynamics row
+    assert np.abs(Pfull[:Nn - n]).max() < 1e-9 * max(1.0, np.abs(Gt).max())
+    Wd = np.stack([Wb[k * n:(k + 1) * n, k * n:(k + 1) * n]
+                   for k in range(N)])
+    Wu = np.stack([Wb[k * n:(k + 1) * n, (k + 1) * n:(k + 2) * n]
+                   for k in range(N - 1)])
+    Alpha_np, BetaInv_np = linalg.band_chol_blocks_tridiag(Wd, Wu)
+    Fp_np = np.linalg.solve(Wb, Pfull)                 # [Nn, nt], O(N) memory
+    Sti_np = np.linalg.inv(Wt - Pfull.T @ Fp_np)
+    # level-2 Woodbury: W = Gt - Ut K1 Vt'
+    Ut_np = Ghz @ Gu_np
+    Vt_np = Ghz @ Gv_np
+    Pu_np = np.linalg.solve(Gt, Ut_np)
+    K2_np = np.linalg.inv(np.linalg.inv(K1_np) - Vt_np.T @ Pu_np)
+
+    # --- online constants ---------------------------------------------
+    D0i_j = jnp.asarray(D0i, dtype)
+    Dji_j = jnp.asarray(Dji, dtype)
+    Hci_j = jnp.asarray(Hci, dtype)
+    Gu = jnp.asarray(Gu_np, dtype)
+    GvK1t = jnp.asarray(Gv_np @ K1_np.T, dtype)        # fold K1 into Gv
+    A_ = jnp.asarray(A_np, dtype)
+    B_ = jnp.asarray(B_np, dtype)
+    Th_ = jnp.asarray(G[(N - 1) * n:Nn, ns:], dtype)   # terminal harmonic coefs
+    Eqh = jnp.asarray(G[Nn:, ns:], dtype)              # equilibrium rows
+    Caux = jnp.asarray(C[:, dim - r:], dtype)          # cone rows (harmonic)
+    d_j = jnp.asarray(d_np, dtype)
+    Alpha = jnp.asarray(Alpha_np, dtype)
+    BetaInv = jnp.asarray(BetaInv_np, dtype)
+    Fp = jnp.asarray(Fp_np, dtype)
+    Sti = jnp.asarray(Sti_np, dtype)
+    PuK2t = jnp.asarray(Pu_np @ K2_np.T, dtype)
+    Vt = jnp.asarray(Vt_np, dtype)
+    rho_i = dtype(1.0 / rho_f)
+
+    def hz_inv(qz):
+        """Hz^-1 qz: stage-local Gamma^-1 + rank-2r correction."""
+        u0 = qz[:, :m] @ D0i_j
+        st = jnp.einsum("bls,ts->blt",
+                        qz[:, m:ns].reshape(-1, N - 1, nm), Dji_j)
+        hm = qz[:, ns:] @ Hci_j
+        g = jnp.concatenate([u0, st.reshape(qz.shape[0], -1), hm], axis=-1)
+        return g - (qz @ GvK1t) @ Gu.T
+
+    def gh_apply(hz, hs):
+        """[G 0; C I] (hz, hs) -> (band rows [B, N, n], tail [B, nt])."""
+        u0 = hz[:, :m]
+        st = hz[:, m:ns].reshape(-1, N - 1, nm)
+        hm = hz[:, ns:]
+        x, u = st[..., :n], st[..., n:]
+        r0 = u0 @ B_.T - x[:, 0]
+        rl = x[:, :N - 2] @ A_.T + u[:, :N - 2] @ B_.T - x[:, 1:]
+        rN1 = x[:, N - 2] @ A_.T + u[:, N - 2] @ B_.T + hm @ Th_.T
+        rb = jnp.concatenate([r0[:, None], rl, rN1[:, None]], axis=1)
+        rt = jnp.concatenate([hm @ Eqh.T, hm @ Caux.T + hs], axis=-1)
+        return rb, rt
+
+    def ght_apply(wb, wt):
+        """Gh' (wb, wt) -> (z rows [B, dim], s rows [B, n_s])."""
+        weq, wcone = wt[:, :3 * n], wt[:, 3 * n:]
+        u0 = wb[:, 0] @ B_
+        xj = jnp.einsum("blj,ji->bli", wb[:, 1:], A_) - wb[:, :N - 1]
+        uj = jnp.einsum("blj,ji->bli", wb[:, 1:], B_)
+        hm = wb[:, N - 1] @ Th_ + weq @ Eqh + wcone @ Caux
+        st = jnp.concatenate([xj, uj], axis=-1).reshape(wb.shape[0], -1)
+        return jnp.concatenate([u0, st, hm], axis=-1), wcone
+
+    def w_solve(rb, rt):
+        """W^-1 over (band, tail): band scan + tail Schur + level-2."""
+        Bsz = rb.shape[0]
+        u1 = band_chol_solve(rb, Alpha, BetaInv).reshape(Bsz, Nn)
+        bt = (rt - rb.reshape(Bsz, Nn) @ Fp) @ Sti.T
+        g = jnp.concatenate([u1 - bt @ Fp.T, bt], axis=-1)
+        g = g + (g @ Vt) @ PuK2t.T
+        return g[:, :Nn].reshape(Bsz, N, n), g[:, Nn:]
+
+    def _kkt(qz, qs, x0):
+        hz = hz_inv(qz)
+        hs = qs * rho_i
+        rb, rt = gh_apply(hz, hs)
+        if x0 is not None:
+            rb = rb.at[:, 0].add(-(x0 @ A_.T))       # beq[:n] = -A x0
+            rt = rt.at[:, 3 * n:].add(d_j)           # cone rows d
+        wb, wt = w_solve(rb, rt)
+        gz, gs = ght_apply(wb, wt)
+        return hz_inv(gz) - hz, gs * rho_i - hs
+
+    def kkt_full(qz, qs, x0):
+        return _kkt(qz, qs, x0)
+
+    def kkt_lin(dqz, dqs):
+        return _kkt(dqz, dqs, None)
+
+    return kkt_full, kkt_lin
+
+
 def _build_hmpc_split(sys, param, opt, symmetric: bool,
                       backend: str = "dense"):
     """Two-block split HMPC solver, plain (ADMM) or symmetric (SADMM)
