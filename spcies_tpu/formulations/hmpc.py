@@ -33,7 +33,7 @@ from spcies_tpu.utils import linalg
 from spcies_tpu.utils.projections import (proj_box, proj_soc, proj_diamond)
 from spcies_tpu.solvers.common import (SolveResult, inf_norm,
                                         hist_sol_entries,
-                                        delta_dot)
+                                        delta_dot, delta_dot_op)
 from spcies_tpu.solvers.loop import run_masked_loop
 from spcies_tpu.api import BatchedSolver
 
@@ -223,7 +223,8 @@ def hmpc_common_ingredients(sys: dict, param: dict, opt: Options,
 
     return dict(
         n=n, m=m, N=N, n_y=n_y, ns=ns, dim=dim, n_eq=n_eq, n_s=n_s,
-        n_box=n_box, n_soc=n_soc, A=A, Q=Q, Te=Te, Se=Se, Th=Th, Sh=Sh,
+        n_box=n_box, n_soc=n_soc, A=A, B=B, Q=Q, Te=Te, Se=Se, Th=Th,
+        Sh=Sh,
         H=H, G=G, C=C, d=d,
         box_constraints=box_constraints, use_soc=use_soc,
         box_LB=box_LB, box_UB=box_UB,
@@ -727,7 +728,9 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
     BetaInv = jnp.asarray(BetaInv_np, dtype)
     Fp = jnp.asarray(Fp_np, dtype)
     Sti = jnp.asarray(Sti_np, dtype)
-    PuK2t = jnp.asarray(Pu_np @ K2_np.T, dtype)
+    # row-vector form: (g @ Vt) @ (Pu K2).T = g Vt K2' Pu', the operator
+    # Gt^-1 Ut K2 Vt' Gt^-1 (K2 is NOT symmetric — Pu @ K2.T is wrong)
+    PuK2t = jnp.asarray(Pu_np @ K2_np, dtype)
     Vt = jnp.asarray(Vt_np, dtype)
     rho_i = dtype(1.0 / rho_f)
 
@@ -813,28 +816,51 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool,
     sigma_i = dtype(1.0 / sigma_f)
     alpha = dtype(float(opt.solver["alpha"]) if symmetric else 1.0)
 
-    # dense KKT maps over (z, s) (compute_HMPC_ADMM_split_ingredients.m:
-    # 219-240)
     n_eq = ing["n_eq"]
-    Hh = linalg.blkdiag(ing["H"] + sigma_f * np.eye(dim),
-                        rho_f * np.eye(n_s))
-    Gh = np.block([[ing["G"], np.zeros((n_eq, n_s))],
-                   [ing["C"], np.eye(n_s)]])
-    Hhi = np.linalg.inv(Hh)
-    W = Gh @ Hhi @ Gh.T
-    Winv = np.linalg.inv(W)
-    M1_np = Hhi @ Gh.T @ Winv @ Gh @ Hhi - Hhi
-    M2_np = Hhi @ Gh.T @ Winv
+    if backend in ("dense", "fused"):
+        # dense KKT maps over (z, s)
+        # (compute_HMPC_ADMM_split_ingredients.m:219-240)
+        Hh = linalg.blkdiag(ing["H"] + sigma_f * np.eye(dim),
+                            rho_f * np.eye(n_s))
+        Gh = np.block([[ing["G"], np.zeros((n_eq, n_s))],
+                       [ing["C"], np.eye(n_s)]])
+        Hhi = np.linalg.inv(Hh)
+        W = Gh @ Hhi @ Gh.T
+        Winv = np.linalg.inv(W)
+        M1_np = Hhi @ Gh.T @ Winv @ Gh @ Hhi - Hhi
+        M2_np = Hhi @ Gh.T @ Winv
 
     if backend == "fused":
         return _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric)
-    if backend != "dense":
+    if backend == "banded":
+        # O(N)-memory structured-KKT path (arrowhead Woodbury + band
+        # Cholesky scan), the harmonic analogue of MPCT-semiband — the
+        # reference's long-horizon role of the permuted sparse LDL
+        # (compute_HMPC_ADMM_ingredients.m:241-250)
+        kkt_full, kkt_lin = _make_hmpc_split_structured_kkt(
+            ing, sigma_f, rho_f, dtype)
+
+        def kkt_init(q_hat, x0):
+            az, as_ = kkt_full(q_hat[:, :dim], q_hat[:, dim:], x0)
+            return jnp.concatenate([az, as_], axis=-1)
+
+        def kkt_delta(dq):
+            az, as_ = kkt_lin(dq[:, :dim], dq[:, dim:])
+            return jnp.concatenate([az, as_], axis=-1)
+    elif backend == "dense":
+        M1 = jnp.asarray(M1_np, dtype)
+        M2_b0 = jnp.asarray(M2_np[:, :n], dtype)
+        aux_d = jnp.asarray(M2_np[:, n_eq:] @ ing["d"], dtype)
+        A_dense = jnp.asarray(ing["A"], dtype)
+
+        def kkt_init(q_hat, x0):
+            return q_hat @ M1.T + (-(x0 @ A_dense.T)) @ M2_b0.T + aux_d
+
+        def kkt_delta(dq):
+            return delta_dot(dq, M1.T)
+    else:
         raise ValueError(f"unknown backend {backend!r} for HMPC split")
 
-    M1 = jnp.asarray(M1_np, dtype)
-    M2_b0 = jnp.asarray(M2_np[:, :n], dtype)
-    aux_d = jnp.asarray(M2_np[:, n_eq:] @ ing["d"], dtype)
-    A = jnp.asarray(ing["A"], dtype)
     cone_proj = _make_cone_proj(ing, dtype)
     n_box = ing["n_box"]
     if box_mode:
@@ -862,7 +888,6 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool,
     def _solve(x0, xr, ur, init, fixed_iters):
         Bsz = x0.shape[0]
         q = _make_q(ing, x0, xr, ur, dtype)
-        aux_b = (-(x0 @ A.T)) @ M2_b0.T + aux_d
 
         if init is None:
             z0_ = jnp.zeros((Bsz, dim), dtype)
@@ -876,7 +901,7 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool,
             return jnp.concatenate(
                 [q - sigma * z + lam, mu - rho * s], axis=-1)
 
-        aux1 = q_hat_of(z0_, s0, lam0, mu0) @ M1.T + aux_b
+        aux1 = kkt_init(q_hat_of(z0_, s0, lam0, mu0), x0)
         rinf = jnp.full((Bsz,), jnp.inf, dtype=dtype)
         state0 = dict(aux=aux1, aux_next=aux1, z=z0_, s=s0,
                       lam=lam0, mu=mu0, r_p=rinf, r_d=rinf)
@@ -905,7 +930,7 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool,
             dq = jnp.concatenate(
                 [-sigma * (z - z_old) + (lam_new - lam_at_aux),
                  (mu_new - mu_at_aux) - rho * (s - s_old)], axis=-1)
-            aux_next = aux + delta_dot(dq, M1.T)
+            aux_next = aux + delta_dot_op(kkt_delta, dq)
             return (dict(aux=aux, aux_next=aux_next, z=z, s=s,
                          lam=lam_new, mu=mu_new, r_p=r_p, r_d=r_d), conv)
 
