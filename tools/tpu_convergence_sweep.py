@@ -1,20 +1,29 @@
-"""TPU fp32 convergence sweep across every engine family.
+"""TPU fp32 convergence sweep across every engine family and backend.
 
 Run ON THE REAL TPU after any solver-engine or kernel change: CPU tests
 cannot catch hardware-only numerics issues (e.g. the default-matmul-
 precision bf16 truncation fixed in commit eff0082). Expected output: every
 family at conv=1.000 and ALL CONVERGED.
 
-    python tools/tpu_convergence_sweep.py
+    python tools/tpu_convergence_sweep.py [--out SWEEP.json]
+
+With --out, writes a JSON record (per-family converged_frac / k_mean /
+k_max) so hardware-gate results are diffable across rounds (VERDICT r2
+next-#10), mirroring bench.py's artifact convention.
 """
+import argparse
+import json
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import numpy as np
-import jax.numpy as jnp
 import spcies_tpu as sp
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--out", default=None)
+cli = ap.parse_args()
 
 sys_, param, st = sp.systems.tester_fixture()
 B = 256
@@ -22,86 +31,116 @@ rng = np.random.default_rng(5)
 x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
 xr = np.tile(st["xr"], (B, 1)); ur = np.tile(st["ur"], (B, 1))
 
+results = {}
+
+
 def check(name, solver, *args):
     r = solver(*args)
     conv = float(np.mean(np.asarray(r.e_flag) == 1))
-    print(f"{name:28s} conv={conv:.3f}  k_mean={float(np.mean(np.asarray(r.k))):7.1f}")
+    k = np.asarray(r.k)
+    results[name] = dict(converged_frac=round(conv, 4),
+                         k_mean=round(float(np.mean(k)), 1),
+                         k_max=int(np.max(k)))
+    print(f"{name:28s} conv={conv:.3f}  k_mean={float(np.mean(k)):7.1f}")
     return conv
+
 
 def opts(f, m, sm="", **kw):
     o = sp.default_options(f, m, sm, **kw)
     o.precision = "float"
     return o
 
-results = []
+
 pT = dict(param); pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
-results.append(check("laxMPC-FISTA", sp.make_solver(
+check("laxMPC-FISTA", sp.make_solver(
     sys_, pT, formulation="laxMPC", method="FISTA",
-    options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur))
+    options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur)
 pE = dict(param); pE.pop("T", None)
-results.append(check("equMPC-FISTA", sp.make_solver(
+check("equMPC-FISTA", sp.make_solver(
     sys_, pE, formulation="equMPC", method="FISTA",
-    options=opts("equMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur))
-pM = dict(param); pM["T"] = 10.0 * np.asarray(param["Q"]); pM["S"] = np.asarray(param["R"]).copy()
-results.append(check("MPCT-EADMM", sp.make_solver(
+    options=opts("equMPC", "FISTA", tol=1e-4, k_max=5000)), x0, xr, ur)
+pM = dict(param); pM["T"] = 10.0 * np.asarray(param["Q"])
+pM["S"] = np.asarray(param["R"]).copy()
+check("MPCT-EADMM", sp.make_solver(
     sys_, pM, formulation="MPCT", method="EADMM",
     options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0, tol=1e-4,
-                 k_max=5000)), x0, xr, ur))
-results.append(check("MPCT-ADMM-semiband", sp.make_solver(
+                 k_max=5000)), x0, xr, ur)
+check("MPCT-ADMM-semiband", sp.make_solver(
     sys_, pM, formulation="MPCT", method="ADMM", submethod="semiband",
     options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=1e-4,
-                 tol_d=1e-4, k_max=5000)), x0, xr, ur))
+                 tol_d=1e-4, k_max=5000)), x0, xr, ur)
 pC = dict(param)
 pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
 pC["P"] = np.eye(6); pC["c"] = np.asarray(st["xr"]); pC["r"] = 0.5
-results.append(check("ellipMPC-ADMM-soc", sp.make_solver(
+check("ellipMPC-ADMM-soc", sp.make_solver(
     sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
     options=opts("ellipMPC", "ADMM", "soc", rho=15.0, sigma=10.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)),
-    x0, xr, ur, np.tile([0.5], (B, 1))))
+    x0, xr, ur, np.tile([0.5], (B, 1)))
 pH = dict(param); pH.pop("T", None)
 pH["w"] = 3 * 1.627 * 0.2
 pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"]); pH["Th"] = pH["Te"]
 pH["Se"] = np.asarray(pH["R"]).copy(); pH["Sh"] = 0.5 * pH["Se"]
-results.append(check("HMPC-SADMM-split", sp.make_solver(
+check("HMPC-SADMM-split", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
     options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
-                 tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur))
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 
-results.append(check("MPCT-ADMM-cs-banded", sp.make_solver(
+# structured O(N) backends
+check("MPCT-ADMM-cs-banded", sp.make_solver(
     sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
     backend="banded",
     options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=1e-4, k_max=5000)),
-    x0, xr, ur))
-results.append(check("MPCT-semiband-banded", sp.make_solver(
+    x0, xr, ur)
+check("MPCT-semiband-banded", sp.make_solver(
     sys_, pM, formulation="MPCT", method="ADMM", submethod="semiband",
     backend="banded",
     options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=1e-4,
-                 tol_d=1e-4, k_max=5000)), x0, xr, ur))
+                 tol_d=1e-4, k_max=5000)), x0, xr, ur)
+check("HMPC-split-banded", sp.make_solver(
+    sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
+    backend="banded",
+    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 
 # fused Pallas backends (compiled, not interpret) — hardware numerics
-results.append(check("MPCT-EADMM-fused", sp.make_solver(
+check("MPCT-EADMM-fused", sp.make_solver(
     sys_, pM, formulation="MPCT", method="EADMM", backend="fused",
     options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0, tol=1e-4,
-                 k_max=5000, tile_b=256)), x0, xr, ur))
-results.append(check("laxMPC-FISTA-fused", sp.make_solver(
+                 k_max=5000, tile_b=256)), x0, xr, ur)
+check("laxMPC-FISTA-fused", sp.make_solver(
     sys_, pT, formulation="laxMPC", method="FISTA", backend="fused",
     options=opts("laxMPC", "FISTA", tol=1e-4, k_max=5000,
-                 tile_b=256)), x0, xr, ur))
-results.append(check("equMPC-FISTA-fused", sp.make_solver(
+                 tile_b=256)), x0, xr, ur)
+check("equMPC-FISTA-fused", sp.make_solver(
     sys_, pE, formulation="equMPC", method="FISTA", backend="fused",
     options=opts("equMPC", "FISTA", tol=1e-4, k_max=5000,
-                 tile_b=256)), x0, xr, ur))
-results.append(check("HMPC-ADMM-split-fused", sp.make_solver(
+                 tile_b=256)), x0, xr, ur)
+check("HMPC-ADMM-split-fused", sp.make_solver(
     sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
     backend="fused",
     options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
-    x0, xr, ur))
-results.append(check("HMPC-SADMM-split-fused", sp.make_solver(
+    x0, xr, ur)
+check("HMPC-SADMM-split-fused", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
     backend="fused",
     options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
-    x0, xr, ur))
-print("ALL CONVERGED" if all(c == 1.0 for c in results) else "FAILURES")
+    x0, xr, ur)
+check("ellipMPC-soc-fused", sp.make_solver(
+    sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
+    backend="fused",
+    options=opts("ellipMPC", "ADMM", "soc", rho=15.0, sigma=10.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
+    x0, xr, ur, np.tile([0.5], (B, 1)))
+
+ok = all(r["converged_frac"] == 1.0 for r in results.values())
+print("ALL CONVERGED" if ok else "FAILURES")
+if cli.out:
+    import jax
+    record = dict(platform=jax.devices()[0].platform, batch=B,
+                  all_converged=ok, families=results)
+    with open(cli.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {cli.out}")
