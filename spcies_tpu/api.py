@@ -210,6 +210,16 @@ def make_solver(sys: dict, param: dict, *, formulation: str = "",
         opt.solver.update(solver_overrides)
         opt.resolve()
 
+    if backend == "fused" and opt.debug:
+        # genHist-style traces (debug=1/2) are recorded by the XLA masked
+        # loop (solvers/loop.py); the fused VMEM-resident Pallas kernels
+        # run the whole iteration on-chip and return only the exit state,
+        # so per-iteration history is structurally unavailable there
+        # (documented in docs/options.md)
+        raise ValueError(
+            "debug traces (genHist) are not available on backend='fused' "
+            "— the VMEM-resident kernel returns only the exit state; use "
+            "backend='dense' (or 'banded') for debug=1/2 runs")
     from spcies_tpu.formulations.base import get_builder
     builder = get_builder(opt.formulation, opt.method, opt.submethod)
     solver = builder(sys, param, opt, backend=backend)

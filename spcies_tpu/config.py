@@ -169,6 +169,17 @@ class Options:
             defaults = SOLVER_REGISTRY.get((f, m, s), {})
             for key, val in defaults.items():
                 self.solver.setdefault(key, val)
+        else:
+            # reference semantics (Spcies_options.m:506-509): when no
+            # def_options_* exists for the selection, warn (gated on
+            # verbose > 0) and proceed with the user-provided options
+            if self.verbose > 0:
+                import warnings
+                warnings.warn(
+                    "no registered default solver options for the "
+                    "'personal' formulation; using the provided solver "
+                    "dict as-is (set verbose=0 to silence)",
+                    stacklevel=2)
         if self.precision not in ("double", "float"):
             raise ValueError("precision must be 'double' or 'float'")
         self.debug = int(self.debug)   # bool -> level (True == 1)

@@ -1,12 +1,15 @@
-"""Multi-process (multi-"host") smoke test: 2 OS processes, each with 2
+"""Multi-process (multi-"host") smoke test: N OS processes, each with D
 virtual CPU devices, brought up via spcies_tpu.parallel.initialize
 (jax.distributed + Gloo collectives), solving one globally-sharded batch
-through the shard_map path on a 2x2 (host, chip) mesh.
+through the shard_map path on an (N, D) (host, chip) mesh.
 
 This exercises the multi-host runtime contract (BASELINE.md ">= 2 hosts"
 row) end-to-end: distributed init, global device list, host x chip mesh,
 per-process input feeding (from_process_local), per-shard termination,
-and DCN-style global metric reduction — everything except physical DCN.
+warm starts across processes, and DCN-style global metric reduction —
+everything except physical DCN. Parametrized over (2 hosts x 2 chips) and
+(4 hosts x 1 chip) so the mesh logic isn't single-shape (VERDICT r2
+next-#8: host axis > chip axis covered).
 """
 
 import os
@@ -20,7 +23,8 @@ import pytest
 _WORKER = r"""
 import os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+ndev = int(sys.argv[4])
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 os.environ.pop("JAX_PLATFORMS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -32,20 +36,22 @@ assert sp.parallel.initialize(coordinator_address=f"localhost:{port}",
                               num_processes=nproc, process_id=pid)
 assert sp.parallel.is_distributed()
 assert jax.process_count() == nproc
-assert len(jax.devices()) == 2 * nproc and len(jax.local_devices()) == 2
+assert len(jax.devices()) == ndev * nproc and len(jax.local_devices()) == ndev
 
 mesh = sp.parallel.host_chip_mesh()
-assert mesh.devices.shape == (nproc, 2), mesh.devices.shape
+assert mesh.devices.shape == (nproc, ndev), mesh.devices.shape
 
 sys_, param, st = sp.systems.tester_fixture()
 solver = sp.make_solver(sys_, param, formulation="laxMPC", method="ADMM",
                         rho=15.0, tol=1e-6, k_max=3000)
 
 # each process feeds its own local scenarios (multi-host input
-# distribution); global batch = 8 lanes, 4 per process
+# distribution); per-process amplitudes differ so per-lane iteration
+# counts are heterogeneous ACROSS processes
 rng = np.random.default_rng(100 + pid)
 B_local = 4
-x0_l = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B_local, 1))
+x0_l = np.asarray(st["x"])[None, :] * rng.uniform(
+    -2 - 0.4 * pid, 2 + 0.4 * pid, (B_local, 1))
 xr_l = np.tile(st["xr"], (B_local, 1))
 ur_l = np.tile(st["ur"], (B_local, 1))
 x0 = sp.parallel.from_process_local(mesh, x0_l)
@@ -55,8 +61,10 @@ ur = sp.parallel.from_process_local(mesh, ur_l)
 solve = sp.parallel.shard_map_solver(solver, mesh)
 res = solve(x0, xr, ur)
 m = sp.parallel.global_fleet_metrics(res, mesh)
-assert m["n_hosts"] == nproc and m["n_devices"] == 2 * nproc
+assert m["n_hosts"] == nproc and m["n_devices"] == ndev * nproc
 assert m["n_converged"] == m["n_lanes"] == B_local * nproc, m
+# heterogeneous exits: the global batch must span >1 distinct k
+assert m["k_min"] < m["k_max"], m
 # every process must see identical global metrics (the DCN-reduced view)
 print(f"METRICS {pid} {m['n_converged']} {m['k_mean']:.6f} {m['k_max']}",
       flush=True)
@@ -71,6 +79,15 @@ u_global = np.asarray(
 sl = slice(pid * B_local, (pid + 1) * B_local)
 np.testing.assert_array_equal(k_global[sl], np.asarray(res_local.k))
 np.testing.assert_allclose(u_global[sl], np.asarray(res_local.u), atol=0.0)
+
+# warm start across processes: re-solve the same globally-sharded batch
+# from the converged iterates — every lane must exit (near-)immediately
+# with per-shard termination (receding-horizon warm-start contract)
+init = (res.sol["z"], res.sol["v"], res.sol["lam"])
+res_ws = solve(x0, xr, ur, init=init)
+m_ws = sp.parallel.global_fleet_metrics(res_ws, mesh)
+assert m_ws["n_converged"] == m_ws["n_lanes"], m_ws
+assert m_ws["k_max"] <= 2, m_ws
 print(f"OK {pid}", flush=True)
 """
 
@@ -84,7 +101,8 @@ def _free_port():
 
 
 @pytest.mark.timeout(300)
-def test_two_process_distributed_solve(tmp_path):
+@pytest.mark.parametrize("nproc,ndev", [(2, 2), (4, 1)])
+def test_multi_process_distributed_solve(tmp_path, nproc, ndev):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     port = _free_port()
@@ -93,9 +111,10 @@ def test_two_process_distributed_solve(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = root
     procs = [subprocess.Popen(
-        [_sys.executable, str(worker), str(pid), "2", str(port)],
+        [_sys.executable, str(worker), str(pid), str(nproc), str(port),
+         str(ndev)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
-        for pid in range(2)]
+        for pid in range(nproc)]
     outs = []
     for p in procs:
         try:
@@ -108,8 +127,10 @@ def test_two_process_distributed_solve(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed: {out}\n{err}"
         assert "OK" in out
-    # both processes reported identical global metrics
+    # all processes reported identical global metrics
     metrics = sorted(line for rc, out, _ in outs
-                     for line in out.splitlines() if line.startswith("METRICS"))
-    assert len(metrics) == 2
-    assert metrics[0].split()[2:] == metrics[1].split()[2:], metrics
+                     for line in out.splitlines()
+                     if line.startswith("METRICS"))
+    assert len(metrics) == nproc
+    for mline in metrics[1:]:
+        assert mline.split()[2:] == metrics[0].split()[2:], metrics

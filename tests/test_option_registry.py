@@ -179,3 +179,85 @@ def test_debug_is_int_level(base):
     assert opt2.debug == 1 and isinstance(opt2.debug, int)
     opt3 = sp.Options(formulation="laxMPC", method="ADMM", debug=2)
     assert opt3.debug == 2
+
+
+def test_verbose_gates_personal_default_warning(base):
+    """Options.verbose mirrors Spcies_options.m:506-509: when the triple
+    has no registered defaults (the 'personal' escape hatch), verbose>0
+    warns and verbose=0 is silent (VERDICT r2 next-#7)."""
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sp.Options(formulation="personal", method="X", verbose=1,
+                   solver=dict(rho=1.0))
+    assert any("personal" in str(w.message) for w in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sp.Options(formulation="personal", method="X", verbose=0,
+                   solver=dict(rho=1.0))
+    assert not rec
+
+
+def test_inf_value_consumed(base):
+    """inf_value fills missing bounds in the baked ingredients
+    (platforms/+C_code/dec_var.m clamps inf at codegen; here the bound is
+    baked directly)."""
+    sys, param, st = base
+    sys2 = {k: v for k, v in sys.items() if k not in ("LBx", "UBx")}
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=100)
+    opt.inf_value = 12345.0
+    s = sp.make_solver(sys2, param, formulation="laxMPC", method="ADMM",
+                       options=opt)
+    LB = np.asarray(s.ingredients["LB_z"])
+    UB = np.asarray(s.ingredients["UB_z"])
+    assert LB.min() == -12345.0 and UB.max() == 12345.0
+
+
+def test_override_and_const_are_static_consumed(base, tmp_path):
+    """override=False picks an unused _vN name
+    (+sp_utils/find_unused_file_name.m); const_are_static=False emits
+    plain `const` (dec_var.m 'static' option)."""
+    sys, param, st = base
+    from spcies_tpu.codegen import generate_embedded_solver
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=100)
+    opt.const_are_static = False
+    files = generate_embedded_solver(sys, param, formulation="laxMPC",
+                                     method="ADMM", options=opt,
+                                     directory=str(tmp_path),
+                                     save_name="ovr", compile_mex=False)
+    src = (tmp_path / "ovr.c").read_text()
+    assert "static const" not in src and "const" in src
+    opt2 = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                              k_max=100)
+    opt2.override = False
+    generate_embedded_solver(sys, param, formulation="laxMPC",
+                             method="ADMM", options=opt2,
+                             directory=str(tmp_path), save_name="ovr",
+                             compile_mex=False)
+    assert (tmp_path / "ovr_v2.c").exists()   # first collision -> _v2
+
+
+
+def test_debug_traces_per_backend(base):
+    """Per-backend genHist contract (VERDICT r2 next-#9): debug=1/2
+    traces exist on dense and banded loops; backend='fused' with debug>0
+    raises with an explanation (the VMEM-resident kernel returns only the
+    exit state)."""
+    sys, param, st = base
+    for be in ("dense", "banded"):
+        opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                                 k_max=200)
+        opt.debug = 1
+        s = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                           options=opt, backend=be)
+        res = s(st["x"], st["xr"], st["ur"])
+        assert "hRp" in res.sol and "hRd" in res.sol
+    opt = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                             k_max=200, pallas_interpret=True, tile_b=8)
+    opt.precision = "float"
+    opt.debug = 1
+    with pytest.raises(ValueError, match="debug traces"):
+        sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
+                       options=opt, backend="fused")
