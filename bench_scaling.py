@@ -62,6 +62,8 @@ def run(solver, st, mesh_devices, batch_per_device=2048, iters=150,
     import jax
     import spcies_tpu as sp
 
+    from jax.sharding import NamedSharding
+
     mesh = sp.parallel.batch_mesh(mesh_devices)
     solve = sp.parallel.shard_map_solver(solver, mesh)
 
@@ -70,6 +72,13 @@ def run(solver, st, mesh_devices, batch_per_device=2048, iters=150,
     x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
     xr = np.tile(st["xr"], (B, 1))
     ur = np.tile(st["ur"], (B, 1))
+    # device-resident, batch-sharded inputs placed ONCE — same contract as
+    # bench.py (the metric is on-device solve throughput; the dev tunnel
+    # adds tens of ms per host->device transfer, which would otherwise be
+    # billed to every timed rep)
+    sharding = NamedSharding(mesh, sp.parallel.batch_spec(mesh))
+    x0, xr, ur = (jax.device_put(
+        jax.numpy.asarray(a, solver.dtype), sharding) for a in (x0, xr, ur))
 
     fixed = None if convergence else iters
     res = solve(x0, xr, ur, fixed_iters=fixed)
