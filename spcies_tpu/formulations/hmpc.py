@@ -399,8 +399,8 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
                     backend: str = "dense") -> BatchedSolver:
     """Single-split ("reduced") HMPC ADMM
     (spcies_HMPC_ADMM_solver.m:125-198, code_HMPC_ADMM_C.c)."""
-    if backend not in ("dense", "fused"):
-        raise ValueError("HMPC/ADMM has dense and fused backends")
+    if backend not in ("dense", "fused", "banded"):
+        raise ValueError("HMPC/ADMM has dense, fused and banded backends")
     ing = hmpc_common_ingredients(sys, param, opt, split=False)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N = ing["n"], ing["m"], ing["N"]
@@ -408,23 +408,37 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
     tol_p = float(opt.solver["tol_p"])
     tol_d = float(opt.solver["tol_d"])
     k_max = int(opt.solver["k_max"])
-    rho = dtype(float(opt.solver["rho"]))
-    rho_i = dtype(1.0 / float(opt.solver["rho"]))
+    rho_f = float(opt.solver["rho"])
+    rho = dtype(rho_f)
+    rho_i = dtype(1.0 / rho_f)
 
-    # dense KKT maps (compute_HMPC_ADMM_ingredients.m:252-257)
-    Hh = ing["H"] + float(opt.solver["rho"]) * (ing["C"].T @ ing["C"])
-    Hhi = np.linalg.inv(Hh)
-    G = ing["G"]
-    W = G @ Hhi @ G.T
-    Winv = np.linalg.inv(W)
-    M1_np = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
-    M2_np = (Hhi @ G.T @ Winv)[:, :n]
+    if backend in ("dense", "fused"):
+        # dense KKT maps (compute_HMPC_ADMM_ingredients.m:252-257)
+        Hh = ing["H"] + rho_f * (ing["C"].T @ ing["C"])
+        Hhi = np.linalg.inv(Hh)
+        G = ing["G"]
+        W = G @ Hhi @ G.T
+        Winv = np.linalg.inv(W)
+        M1_np = Hhi @ G.T @ Winv @ G @ Hhi - Hhi
+        M2_np = (Hhi @ G.T @ Winv)[:, :n]
 
     if backend == "fused":
         return _build_hmpc_admm_fused(ing, opt, M1_np, M2_np)
+    if backend == "banded":
+        # O(N)-memory structured KKT (single-split arrowhead variant of
+        # _make_hmpc_split_structured_kkt; sigma unused)
+        kkt_full, kkt_lin = _make_hmpc_split_structured_kkt(
+            ing, 0.0, rho_f, dtype, split=False)
+    else:
+        M1 = jnp.asarray(M1_np, dtype)
+        M2 = jnp.asarray(M2_np, dtype)
 
-    M1 = jnp.asarray(M1_np, dtype)
-    M2 = jnp.asarray(M2_np, dtype)
+        def kkt_full(q_hat, x0):
+            return q_hat @ M1.T + (-(x0 @ A.T)) @ M2.T
+
+        def kkt_lin(dq):
+            return delta_dot(dq, M1.T)
+
     C = jnp.asarray(ing["C"], dtype)
     d = jnp.asarray(ing["d"], dtype)
     A = jnp.asarray(ing["A"], dtype)
@@ -440,8 +454,6 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
     def _solve(x0, xr, ur, init, fixed_iters):
         Bsz = x0.shape[0]
         q = _make_q(ing, x0, xr, ur, dtype)
-        b0 = -(x0 @ A.T)
-        aux_b = b0 @ M2.T
 
         if init is None:
             s0 = jnp.zeros((Bsz, n_s), dtype)
@@ -451,7 +463,7 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
 
         def z_of(s, lam):
             q_hat = q + (rho * (s - d) + lam) @ C
-            return q_hat @ M1.T + aux_b
+            return kkt_full(q_hat, x0)
 
         z1 = z_of(s0, lam0)
         rinf = jnp.full((Bsz,), jnp.inf, dtype=dtype)
@@ -470,7 +482,7 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
             conv = (r_p <= tol_p) & (r_d <= tol_d)
             # delta-form: dq_hat = C'(rho ds + dlam); both terms -> 0
             dq = delta_dot(rho * (s - s_old) + rho * resid, C)
-            z_next = z + delta_dot(dq, M1.T)
+            z_next = z + delta_dot_op(kkt_lin, dq)
             return (dict(z=z, z_next=z_next, s=s, lam=lam_new,
                          r_p=r_p, r_d=r_d), conv)
 
@@ -630,10 +642,21 @@ def _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric: bool):
                          dtype=jnp.float32)
 
 
-def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
-    """O(N)-memory KKT maps for the two-block split HMPC solvers — the
-    harmonic analogue of MPCT-semiband's two-level structure
+def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype,
+                                    split: bool = True):
+    """O(N)-memory KKT maps for the HMPC solvers — the harmonic analogue
+    of MPCT-semiband's two-level structure
     (mpct._make_semiband_structured_z_step).
+
+    split=True: the two-block split KKT over (z, s) — Hz = H + sigma I,
+    Gh = [G 0; C I] (code_HMPC_ADMM_split_C.c). Returns
+    (kkt_full(qz, qs, x0), kkt_lin(dqz, dqs)).
+
+    split=False: the single-split ("reduced") KKT — Hz = H + rho C'C,
+    Gh = G (code_HMPC_ADMM_C.c). In box mode C'C = blkdiag(I_ns,
+    Caux'Caux), so the arrowhead structure is identical: per-stage
+    blocks shift by rho I and the harmonic block by rho Caux'Caux.
+    Returns (kkt_full(qz, x0), kkt_lin(dqz)).
 
     The harmonic KKT is an arrowhead: Hz = H + sigma I = Gamma + Us Vs'
     where Gamma is block-diagonal (per-stage cost blocks + the small
@@ -670,9 +693,17 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
     d_np = ing["d"]
 
     # --- offline: level-1 arrowhead Woodbury --------------------------
-    D0 = H[:m, :m] + sigma_f * np.eye(m)
-    Dj = H[m:m + nm, m:m + nm] + sigma_f * np.eye(nm)  # shared, stages 1..N-1
-    Hc = H[ns:, ns:] + sigma_f * np.eye(r)
+    if split:
+        # Hz = H + sigma I
+        D0 = H[:m, :m] + sigma_f * np.eye(m)
+        Dj = H[m:m + nm, m:m + nm] + sigma_f * np.eye(nm)  # stages 1..N-1
+        Hc = H[ns:, ns:] + sigma_f * np.eye(r)
+    else:
+        # Hz = H + rho C'C, box mode: C'C = blkdiag(I_ns, Caux'Caux)
+        Caux_np = C[ing["n_box"]:, ns:]
+        D0 = H[:m, :m] + rho_f * np.eye(m)
+        Dj = H[m:m + nm, m:m + nm] + rho_f * np.eye(nm)
+        Hc = H[ns:, ns:] + rho_f * (Caux_np.T @ Caux_np)
     D0i = np.linalg.inv(D0)
     Dji = np.linalg.inv(Dj)
     Hci = np.linalg.inv(Hc)
@@ -689,11 +720,15 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
     K1_np = np.linalg.inv(np.eye(2 * r) + Vs.T @ Gu_np)
 
     # --- offline: banded + tail dual system ---------------------------
-    Ghz = np.vstack([G, C])
-    Gt = Ghz @ Gzi @ Ghz.T
-    Gt[n_eq:, n_eq:] += (1.0 / rho_f) * np.eye(n_s)
+    if split:
+        Ghz = np.vstack([G, C])
+        Gt = Ghz @ Gzi @ Ghz.T
+        Gt[n_eq:, n_eq:] += (1.0 / rho_f) * np.eye(n_s)
+    else:
+        Ghz = G
+        Gt = Ghz @ Gzi @ Ghz.T
     Nn = N * n
-    nt = (n_eq + n_s) - Nn                             # 3n + n_s tail
+    nt = Ghz.shape[0] - Nn                  # 3n (+ n_s cone rows if split)
     Wb = Gt[:Nn, :Nn]
     Pfull = Gt[:Nn, Nn:]
     Wt = Gt[Nn:, Nn:]
@@ -744,7 +779,8 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
         return g - (qz @ GvK1t) @ Gu.T
 
     def gh_apply(hz, hs):
-        """[G 0; C I] (hz, hs) -> (band rows [B, N, n], tail [B, nt])."""
+        """Gh (hz[, hs]) -> (band rows [B, N, n], tail [B, nt]);
+        split: Gh = [G 0; C I], single: Gh = G (hs is None)."""
         u0 = hz[:, :m]
         st = hz[:, m:ns].reshape(-1, N - 1, nm)
         hm = hz[:, ns:]
@@ -753,18 +789,25 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
         rl = x[:, :N - 2] @ A_.T + u[:, :N - 2] @ B_.T - x[:, 1:]
         rN1 = x[:, N - 2] @ A_.T + u[:, N - 2] @ B_.T + hm @ Th_.T
         rb = jnp.concatenate([r0[:, None], rl, rN1[:, None]], axis=1)
-        rt = jnp.concatenate([hm @ Eqh.T, hm @ Caux.T + hs], axis=-1)
+        if split:
+            rt = jnp.concatenate([hm @ Eqh.T, hm @ Caux.T + hs], axis=-1)
+        else:
+            rt = hm @ Eqh.T
         return rb, rt
 
     def ght_apply(wb, wt):
-        """Gh' (wb, wt) -> (z rows [B, dim], s rows [B, n_s])."""
-        weq, wcone = wt[:, :3 * n], wt[:, 3 * n:]
+        """Gh' (wb, wt) -> z rows [B, dim] (+ s rows [B, n_s] if split)."""
+        weq = wt[:, :3 * n]
         u0 = wb[:, 0] @ B_
         xj = jnp.einsum("blj,ji->bli", wb[:, 1:], A_) - wb[:, :N - 1]
         uj = jnp.einsum("blj,ji->bli", wb[:, 1:], B_)
-        hm = wb[:, N - 1] @ Th_ + weq @ Eqh + wcone @ Caux
+        hm = wb[:, N - 1] @ Th_ + weq @ Eqh
+        if split:
+            wcone = wt[:, 3 * n:]
+            hm = hm + wcone @ Caux
         st = jnp.concatenate([xj, uj], axis=-1).reshape(wb.shape[0], -1)
-        return jnp.concatenate([u0, st, hm], axis=-1), wcone
+        gz = jnp.concatenate([u0, st, hm], axis=-1)
+        return (gz, wcone) if split else gz
 
     def w_solve(rb, rt):
         """W^-1 over (band, tail): band scan + tail Schur + level-2."""
@@ -775,22 +818,40 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype):
         g = g + (g @ Vt) @ PuK2t.T
         return g[:, :Nn].reshape(Bsz, N, n), g[:, Nn:]
 
-    def _kkt(qz, qs, x0):
-        hz = hz_inv(qz)
-        hs = qs * rho_i
-        rb, rt = gh_apply(hz, hs)
-        if x0 is not None:
-            rb = rb.at[:, 0].add(-(x0 @ A_.T))       # beq[:n] = -A x0
-            rt = rt.at[:, 3 * n:].add(d_j)           # cone rows d
-        wb, wt = w_solve(rb, rt)
-        gz, gs = ght_apply(wb, wt)
-        return hz_inv(gz) - hz, gs * rho_i - hs
+    if split:
+        def _kkt(qz, qs, x0):
+            hz = hz_inv(qz)
+            hs = qs * rho_i
+            rb, rt = gh_apply(hz, hs)
+            if x0 is not None:
+                rb = rb.at[:, 0].add(-(x0 @ A_.T))   # beq[:n] = -A x0
+                rt = rt.at[:, 3 * n:].add(d_j)       # cone rows d
+            wb, wt = w_solve(rb, rt)
+            gz, gs = ght_apply(wb, wt)
+            return hz_inv(gz) - hz, gs * rho_i - hs
 
-    def kkt_full(qz, qs, x0):
-        return _kkt(qz, qs, x0)
+        def kkt_full(qz, qs, x0):
+            return _kkt(qz, qs, x0)
 
-    def kkt_lin(dqz, dqs):
-        return _kkt(dqz, dqs, None)
+        def kkt_lin(dqz, dqs):
+            return _kkt(dqz, dqs, None)
+    else:
+        # single-split: the cone offset d enters through q_hat outside
+        # (code_HMPC_ADMM_C.c builds q_hat = q + C'(rho(s - d) + lam))
+        def _kkt(q_hat, x0):
+            hz = hz_inv(q_hat)
+            rb, rt = gh_apply(hz, None)
+            if x0 is not None:
+                rb = rb.at[:, 0].add(-(x0 @ A_.T))   # beq[:n] = -A x0
+            wb, wt = w_solve(rb, rt)
+            gz = ght_apply(wb, wt)
+            return hz_inv(gz) - hz
+
+        def kkt_full(q_hat, x0):
+            return _kkt(q_hat, x0)
+
+        def kkt_lin(dq):
+            return _kkt(dq, None)
 
     return kkt_full, kkt_lin
 

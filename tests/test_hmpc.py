@@ -279,3 +279,29 @@ def test_banded_split_long_horizon_n120(fixture):
         gap = np.max(np.abs(np.asarray(res_b.sol[key])
                             - np.asarray(res_d.sol[key])))
         assert gap < 1e-9, (key, gap)
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_banded_single_matches_dense(fixture, use_soc):
+    """backend='banded' for the single-split solver: the same arrowhead
+    structure carries because Hz = H + rho C'C keeps per-stage blocks +
+    harmonic block + border (box mode C'C = blkdiag(I_ns, Caux'Caux))."""
+    sys, param, st = fixture
+    kw = dict(OPTS, use_soc=use_soc)
+    s_b = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                         backend="banded", **kw)
+    s_d = sp.make_solver(sys, param, formulation="HMPC", method="ADMM",
+                         **kw)
+    B = 4
+    rng = np.random.default_rng(19)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    rb = s_b(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rb.k), np.asarray(rd.k))
+    assert np.all(np.asarray(rb.e_flag) == 1)
+    for key in ("z", "s", "lam"):
+        gap = np.max(np.abs(np.asarray(rb.sol[key])
+                            - np.asarray(rd.sol[key])))
+        assert gap < 1e-9, (key, gap)

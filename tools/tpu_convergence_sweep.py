@@ -102,6 +102,10 @@ check("HMPC-split-banded", sp.make_solver(
     backend="banded",
     options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
+check("HMPC-single-banded", sp.make_solver(
+    sys_, pH, formulation="HMPC", method="ADMM", backend="banded",
+    options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 
 # fused Pallas backends (compiled, not interpret) — hardware numerics
 check("MPCT-EADMM-fused", sp.make_solver(
