@@ -121,9 +121,28 @@ def main():
         run_single(args.single[0], args.single[1], int(args.single[2]))
         return
     rows = []
+    # resume: keep completed cells from a previous (interrupted) run and
+    # write incrementally after every cell, so a timeout loses one cell
+    done = set()
+    if args.out and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                rows = [r for r in json.load(f)["rows"] if "error" not in r]
+            done = {(r["family"], r["backend"], r["N"]) for r in rows}
+        except Exception:
+            rows = []
+
+    def flush():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(dict(batch=B, iters=ITERS, rows=rows), f,
+                          indent=1)
+
     for family, (backends, _kw) in FAMILIES.items():
         for N in NS:
             for be in backends:
+                if (family, be, N) in done:
+                    continue
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--single", family, be, str(N)],
@@ -133,16 +152,19 @@ def main():
                 if p.returncode != 0 or not line:
                     rows.append(dict(family=family, backend=be, N=N,
                                      error=(p.stderr or p.stdout)[-400:]))
-                    print(f"{family:22s} {be:7s} N={N:4d}  FAILED")
+                    print(f"{family:22s} {be:7s} N={N:4d}  FAILED",
+                          flush=True)
+                    flush()
                     continue
                 r = json.loads(line[0][len("RESULT "):])
                 rows.append(r)
                 print(f"{family:22s} {be:7s} N={N:4d}  "
                       f"{r['solves_per_s']:>10.1f} solves/s  "
-                      f"peak={r['peak_bytes_in_use']/1e6:.1f} MB")
+                      f"peak={r['peak_bytes_in_use']/1e6:.1f} MB",
+                      flush=True)
+                flush()
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(dict(batch=B, iters=ITERS, rows=rows), f, indent=1)
+        flush()
         print(f"wrote {args.out}")
 
 

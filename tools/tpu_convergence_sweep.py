@@ -74,7 +74,7 @@ pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
 pC["P"] = np.eye(6); pC["c"] = np.asarray(st["xr"]); pC["r"] = 0.5
 check("ellipMPC-ADMM-soc", sp.make_solver(
     sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
-    options=opts("ellipMPC", "ADMM", "soc", rho=15.0, sigma=10.0,
+    options=opts("ellipMPC", "ADMM", "soc", rho=5.0, sigma=4.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)),
     x0, xr, ur, np.tile([0.5], (B, 1)))
 pH = dict(param); pH.pop("T", None)
@@ -83,7 +83,7 @@ pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"]); pH["Th"] = pH["Te"]
 pH["Se"] = np.asarray(pH["R"]).copy(); pH["Sh"] = 0.5 * pH["Se"]
 check("HMPC-SADMM-split", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
-    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
+    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 
 # structured O(N) backends
@@ -100,11 +100,11 @@ check("MPCT-semiband-banded", sp.make_solver(
 check("HMPC-split-banded", sp.make_solver(
     sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
     backend="banded",
-    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
+    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 check("HMPC-single-banded", sp.make_solver(
     sys_, pH, formulation="HMPC", method="ADMM", backend="banded",
-    options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0,
+    options=opts("HMPC", "ADMM", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
 
 # fused Pallas backends (compiled, not interpret) — hardware numerics
@@ -123,19 +123,19 @@ check("equMPC-FISTA-fused", sp.make_solver(
 check("HMPC-ADMM-split-fused", sp.make_solver(
     sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
     backend="fused",
-    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=20.0,
+    options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
     x0, xr, ur)
 check("HMPC-SADMM-split-fused", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
     backend="fused",
-    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=20.0,
+    options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
     x0, xr, ur)
 check("ellipMPC-soc-fused", sp.make_solver(
     sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
     backend="fused",
-    options=opts("ellipMPC", "ADMM", "soc", rho=15.0, sigma=10.0,
+    options=opts("ellipMPC", "ADMM", "soc", rho=5.0, sigma=4.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
     x0, xr, ur, np.tile([0.5], (B, 1)))
 
