@@ -103,3 +103,35 @@ def test_fuzz_c_codegen_matches(n, m, seed, tmp_path):
     assert e_c == int(r.e_flag[0]) == 1
     assert k_c == int(r.k[0])
     assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+@pytest.mark.parametrize("n,m,seed", DIMS)
+def test_fuzz_hmpc_banded_structure(n, m, seed):
+    """The banded HMPC backends' structural assumptions (arrowhead
+    Hessian, tail coupling only through the last dynamics row) must hold
+    for arbitrary stable plants and harmonic frequencies, not just the
+    tester fixture: banded vs dense on random systems, identical per-lane
+    k and 1e-9-class iterates."""
+    sys, param, x0, xr, ur = _random_system(400 + seed, n, m)
+    rng = np.random.default_rng(900 + seed)
+    param = dict(param)
+    param["w"] = float(rng.uniform(0.3, 1.5))
+    param["Te"] = 5.0 * param["N"] * np.asarray(param["Q"])
+    param["Th"] = param["Te"]
+    param["Se"] = np.asarray(param["R"]).copy()
+    param["Sh"] = 0.5 * param["Se"]
+    kw = dict(rho=2.0, sigma=5.0, tol_p=1e-6, tol_d=1e-6, k_max=20000)
+    for submethod in ("", "split"):
+        s_b = sp.make_solver(sys, param, formulation="HMPC",
+                             method="ADMM", submethod=submethod,
+                             backend="banded", **kw)
+        s_d = sp.make_solver(sys, param, formulation="HMPC",
+                             method="ADMM", submethod=submethod, **kw)
+        rb = s_b(x0, xr, ur)
+        rd = s_d(x0, xr, ur)
+        assert int(rb.e_flag[0]) == int(rd.e_flag[0]) == 1, submethod
+        assert int(rb.k[0]) == int(rd.k[0]), submethod
+        for key in ("z", "s", "lam"):
+            gap = np.max(np.abs(np.asarray(rb.sol[key][0])
+                                - np.asarray(rd.sol[key][0])))
+            assert gap < 1e-9, (submethod, key, gap)
