@@ -18,7 +18,11 @@ scaled by alpha).
 TPU-native design: the reference's permuted-LDL sparse path is replaced by
 the dense M1/M2 affine maps (its own non-sparse path,
 spcies_HMPC_ADMM_solver.m:135), and all projections are batched branch-free
-kernels (utils.projections).
+kernels (utils.projections). For long horizons both the single-split and
+two-block split solvers have a `backend='banded'` structured-KKT path
+(_make_hmpc_split_structured_kkt): arrowhead Woodbury over the stage /
+harmonic blocks + block-tridiagonal Cholesky scan + tail Schur
+complement, every online array O(N).
 """
 
 from __future__ import annotations
