@@ -84,7 +84,12 @@ def run_single(family, backend, N):
         o.precision = "float"
         return o
 
+    live0 = sum(a.nbytes for a in jax.live_arrays())
     solver = make()
+    # device-resident online constants created by the builder (the axon
+    # TPU plugin does not expose memory_stats, so ingredient memory is
+    # measured as the live-device-array delta across the build)
+    ingredient_bytes = sum(a.nbytes for a in jax.live_arrays()) - live0
     rng = np.random.default_rng(0)
     x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
     xr = np.tile(st["xr"], (B, 1))
@@ -106,6 +111,7 @@ def run_single(family, backend, N):
         family=family, backend=backend, N=N, batch=B, iters=ITERS,
         solves_per_s=round(B / dt, 1),
         lane_iters_per_s=round(B * ITERS / dt, 1),
+        ingredient_bytes=int(ingredient_bytes),
         peak_bytes_in_use=int(stats.get("peak_bytes_in_use", -1)),
         platform=jax.devices()[0].platform,
     )
