@@ -42,7 +42,15 @@ ITERS = 100
 def run_single(family, backend, N):
     import time
     import numpy as np
+    # persistent compile cache: each cell is a fresh process and pays
+    # ~1-4 min of XLA compile otherwise; with the cache, resumed/repeated
+    # runs skip straight to the measurement
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_cache_spcies")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import spcies_tpu as sp
 
     sys_, param, st = sp.systems.tester_fixture()
