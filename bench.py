@@ -48,7 +48,16 @@ def _bench_solver(solver, args, reps=5):
 
 
 def main():
+    import os
+    # persistent XLA compile cache (same cache as tools/bench_longn.py):
+    # the 13-family matrix compiles ~30 programs; cached reruns skip
+    # straight to measurement
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_cache_spcies")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import spcies_tpu as sp
 
