@@ -164,6 +164,15 @@ def main():
         if row is None:
             row = dict(error="all backends failed")
         row["per_backend"] = per
+        # explicit callout when an accelerated backend loses to the dense
+        # engine on this fixture (the N=10 128-lane padding penalty —
+        # see README "Benchmark"): visible, not silently promoted away
+        slower = [be for be, v in per.items()
+                  if be != "dense" and isinstance(v, (int, float))
+                  and isinstance(per.get("dense"), (int, float))
+                  and v < per["dense"]]
+        if slower:
+            row["slower_than_dense"] = slower
         fam[name] = row
 
     # laxMPC-FISTA
