@@ -98,7 +98,13 @@ def run(solver, st, mesh_devices, batch_per_device=2048, iters=150,
 def main(argv=None):
     import argparse
     import os
+    # persistent XLA compile cache shared with bench.py / bench_longn.py
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/jax_cache_spcies")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,

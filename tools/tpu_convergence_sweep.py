@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import numpy as np
+# persistent XLA compile cache shared with bench.py / tools/bench_longn.py
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_spcies")
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import spcies_tpu as sp
 
 ap = argparse.ArgumentParser()
