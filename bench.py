@@ -53,7 +53,7 @@ def main():
     # the 13-family matrix compiles ~30 programs; cached reruns skip
     # straight to measurement
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_cache_spcies")
+                          os.path.expanduser("~/.cache/jax_spcies"))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

@@ -100,7 +100,7 @@ def main(argv=None):
     import os
     # persistent XLA compile cache shared with bench.py / bench_longn.py
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_cache_spcies")
+                          os.path.expanduser("~/.cache/jax_spcies"))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

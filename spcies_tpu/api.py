@@ -176,6 +176,41 @@ class BatchedSolver:
     def solve(self, *inputs, **kw):
         return self(*inputs, **kw)
 
+    def aot_memory_analysis(self, *inputs, init=None, fixed_iters=None):
+        """AOT-compile the solve for the given (shapes of the) inputs and
+        return XLA's memory analysis as a dict of byte counts
+        (argument/output/temp/generated-code; peak = arg + out + temp -
+        aliased). This is the measured-memory contract behind the O(N)
+        long-horizon claims (BENCH_LONGN) — a compile-time number from the
+        real executable, not a count of ingredient array sizes. Returns
+        None when the backend does not expose memory_analysis."""
+        if len(inputs) < self.n_inputs:
+            inputs = inputs + self.default_inputs[
+                -(self.n_inputs - len(inputs)):]
+        inputs = broadcast_inputs(self.dtype, *inputs,
+                                  core_ndims=self.input_core_ndims)
+        with jax.default_matmul_precision("highest"):
+            lowered = self._jitted.lower(*inputs, init, fixed_iters)
+        try:
+            ma = lowered.compile().memory_analysis()
+        except Exception:
+            return None
+        if ma is None:
+            return None
+        try:
+            out = dict(
+                argument_bytes=int(ma.argument_size_in_bytes),
+                output_bytes=int(ma.output_size_in_bytes),
+                temp_bytes=int(ma.temp_size_in_bytes),
+                alias_bytes=int(ma.alias_size_in_bytes),
+                code_bytes=int(ma.generated_code_size_in_bytes),
+            )
+        except AttributeError:
+            return None
+        out["peak_bytes"] = (out["argument_bytes"] + out["output_bytes"]
+                             + out["temp_bytes"] - out["alias_bytes"])
+        return out
+
 
 def make_solver(sys: dict, param: dict, *, formulation: str = "",
                 method: str = "", submethod: str = "",

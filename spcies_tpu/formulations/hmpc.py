@@ -432,7 +432,8 @@ def build_hmpc_admm(sys: dict, param: dict, opt: Options,
         # O(N)-memory structured KKT (single-split arrowhead variant of
         # _make_hmpc_split_structured_kkt; sigma unused)
         kkt_full, kkt_lin = _make_hmpc_split_structured_kkt(
-            ing, 0.0, rho_f, dtype, split=False)
+            ing, 0.0, rho_f, dtype, split=False,
+            parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
     else:
         M1 = jnp.asarray(M1_np, dtype)
         M2 = jnp.asarray(M2_np, dtype)
@@ -647,7 +648,8 @@ def _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric: bool):
 
 
 def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype,
-                                    split: bool = True):
+                                    split: bool = True,
+                                    parallel_scan: bool = False):
     """O(N)-memory KKT maps for the HMPC solvers — the harmonic analogue
     of MPCT-semiband's two-level structure
     (mpct._make_semiband_structured_z_step).
@@ -678,8 +680,11 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype,
 
     Returns (kkt_full(qz, qs, x0), kkt_lin(dqz, dqs)) computing
     aux = Hh^-1 Gh' W^-1 (Gh Hh^-1 q + bh) - Hh^-1 q, i.e. the action of
-    the dense path's (M1, M2) without forming them."""
-    from spcies_tpu.kernels.band_chol import band_chol_solve
+    the dense path's (M1, M2) without forming them. parallel_scan selects
+    the O(log N)-depth associative-scan band solve for long horizons."""
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan)
+    band_solve = band_chol_solve_scan if parallel_scan else band_chol_solve
     n, m, N = ing["n"], ing["m"], ing["N"]
     ns, dim, n_eq, n_s = ing["ns"], ing["dim"], ing["n_eq"], ing["n_s"]
     if not ing["box_constraints"]:
@@ -816,7 +821,7 @@ def _make_hmpc_split_structured_kkt(ing, sigma_f, rho_f, dtype,
     def w_solve(rb, rt):
         """W^-1 over (band, tail): band scan + tail Schur + level-2."""
         Bsz = rb.shape[0]
-        u1 = band_chol_solve(rb, Alpha, BetaInv).reshape(Bsz, Nn)
+        u1 = band_solve(rb, Alpha, BetaInv).reshape(Bsz, Nn)
         bt = (rt - rb.reshape(Bsz, Nn) @ Fp) @ Sti.T
         g = jnp.concatenate([u1 - bt @ Fp.T, bt], axis=-1)
         g = g + (g @ Vt) @ PuK2t.T
@@ -903,7 +908,8 @@ def _build_hmpc_split(sys, param, opt, symmetric: bool,
         # reference's long-horizon role of the permuted sparse LDL
         # (compute_HMPC_ADMM_ingredients.m:241-250)
         kkt_full, kkt_lin = _make_hmpc_split_structured_kkt(
-            ing, sigma_f, rho_f, dtype)
+            ing, sigma_f, rho_f, dtype,
+            parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
 
         def kkt_init(q_hat, x0):
             az, as_ = kkt_full(q_hat[:, :dim], q_hat[:, dim:], x0)

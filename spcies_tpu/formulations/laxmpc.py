@@ -433,8 +433,18 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
     recomputed online (code_laxMPC_ADMM_C.c:150-279) — here as a batched
     blocked-Cholesky scan (kernels.online_band_chol), so every lane can
     carry a DIFFERENT model, which the reference cannot express.
+
+    solver options:
+      band_parallel_scan — O(log N)-depth associative-scan band solve.
+      tv_dense_w — materialize each lane's dense W = G Hhat^-1 G'
+        ([B, Nn, Nn]) and solve with batched dense Cholesky instead of the
+        O(N) banded factors. This is the structure-oblivious path the
+        banded design exists to avoid: its memory is quadratic in the
+        horizon PER LANE, so it hits the HBM wall at (B, N) points the
+        banded backend sails through (measured in BENCH_LONGN).
     """
-    from spcies_tpu.kernels.band_chol import band_chol_solve
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan)
     from spcies_tpu.kernels.online_band_chol import online_band_chol_fn
     from spcies_tpu.formulations import stagewise
 
@@ -462,12 +472,57 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
         T_rho_i = None
         Tj = None
     chol_fn = online_band_chol_fn(N, terminal)
+    dense_w = bool(opt.solver.get("tv_dense_w", False))
+    band_solve = (band_chol_solve_scan
+                  if bool(opt.solver.get("band_parallel_scan", False))
+                  else band_chol_solve)
+
+    def _make_dense_w_solve(A, B, Qhat_inv, Rhat_inv, dtype):
+        """Per-lane dense W [B, Nn, Nn] + batched Cholesky (tv_dense_w).
+        W is block-tridiagonal: D_0 = B Ri B' + diag(Qi);
+        D_l = A Qi A' + B Ri B' + (diag(Qi) | T_rho_i | nothing) for the
+        next-state weight; E_l = -diag(Qi) A' couples stages l, l+1."""
+        Bsz = A.shape[0]
+        Nn = N * n
+        AQ = A * Qhat_inv[:, None, :]            # A diag(Qi)
+        BR = B * Rhat_inv[:, None, :]
+        AQA = jnp.einsum("bij,bkj->bik", AQ, A)
+        BRB = jnp.einsum("bij,bkj->bik", BR, B)
+        Dmid = AQA + BRB                          # [B, n, n]
+        Qdiag = jax.vmap(jnp.diag)(Qhat_inv)      # [B, n, n]
+        D = jnp.tile((Dmid + Qdiag)[:, None], (1, N, 1, 1))
+        D = D.at[:, 0].set(BRB + Qdiag)
+        if terminal:
+            D = D.at[:, N - 1].set(Dmid + T_rho_i)
+        else:
+            D = D.at[:, N - 1].set(Dmid)
+        E = -jnp.einsum("bi,bji->bij", Qhat_inv, A)   # -diag(Qi) A'
+        E = jnp.tile(E[:, None], (1, N, 1, 1))        # row N-1 unused
+        eyeN = jnp.eye(N, dtype=dtype)
+        upN = jnp.eye(N, k=1, dtype=dtype)            # kills row N-1
+        W = jnp.einsum("blij,lk->blikj", D, eyeN)
+        Wu = jnp.einsum("blij,lk->blikj", E, upN)
+        W = W + Wu + jnp.transpose(Wu, (0, 3, 4, 1, 2))
+        W = W.reshape(Bsz, Nn, Nn)
+        chol = jnp.linalg.cholesky(W)
+
+        def solve_W(rhs):                         # rhs [B, N, n]
+            flat = rhs.reshape(Bsz, Nn)
+            out = jax.scipy.linalg.cho_solve((chol, True), flat)
+            return out.reshape(Bsz, N, n)
+
+        return solve_W
 
     def _solve(x0, xr, ur, A, B, Qd, Rd, LB, UB, init, fixed_iters):
         Bsz = x0.shape[0]
         Qhat_inv = 1.0 / (Qd + rho)              # [B, n]
         Rhat_inv = 1.0 / (Rd + rho)              # [B, m]
-        Alpha, BetaInv = chol_fn(A, B, Qhat_inv, Rhat_inv, T_rho_i)
+        if dense_w:
+            solve_W = _make_dense_w_solve(A, B, Qhat_inv, Rhat_inv,
+                                          x0.dtype)
+        else:
+            Alpha, BetaInv = chol_fn(A, B, Qhat_inv, Rhat_inv, T_rho_i)
+            solve_W = lambda rhs: band_solve(rhs, Alpha, BetaInv)
         AB = jnp.concatenate([A, B], axis=-1)    # [B, n, n+m]
         Hi_0 = Rhat_inv
         Hi_mid = jnp.tile(jnp.concatenate([Qhat_inv, Rhat_inv], axis=-1),
@@ -484,7 +539,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
             rhs = rhs.at[:, 0].add(-b0)
             if not terminal:
                 rhs = rhs.at[:, -1].add(-xr_rhs)
-            mu = band_chol_solve(rhs, Alpha, BetaInv)
+            mu = solve_W(rhs)
             g0, gm, gN = stagewise.split_z(
                 stagewise.gt_apply(mu, n, m, B, AB, terminal),
                 n, m, N, terminal)
@@ -496,7 +551,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
         def z_lin(dq):
             h0, hm, hN = hinv(dq)
             rhs = -stagewise.g_apply(h0, hm, hN, A, B, AB)
-            mu = band_chol_solve(rhs, Alpha, BetaInv)
+            mu = solve_W(rhs)
             g0, gm, gN = stagewise.split_z(
                 stagewise.gt_apply(mu, n, m, B, AB, terminal),
                 n, m, N, terminal)

@@ -562,11 +562,15 @@ def mpct_cs_banded_ingredients(sys: dict, param: dict, opt: Options) -> dict:
     )
 
 
-def _make_cs_banded_z_step(ing, dtype):
+def _make_cs_banded_z_step(ing, dtype, parallel_scan=False):
     """z_step(q_hat, x0 | None) for the structured MPCT-cs backend:
     z = -Hinv(q_hat + G'mu), W mu = -G Hinv q_hat - beq, all ops
-    stage-local, the band solve through the Alpha/BetaInv scan."""
-    from spcies_tpu.kernels.band_chol import band_chol_solve
+    stage-local, the band solve through the Alpha/BetaInv scan.
+    parallel_scan routes it through the O(log N)-depth associative-scan
+    variant (kernels.band_chol.band_chol_solve_scan) for long horizons."""
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan)
+    band_solve = band_chol_solve_scan if parallel_scan else band_chol_solve
     n, m, N = ing["n"], ing["m"], ing["N"]
     sd, bmax = ing["sd"], ing["bmax"]
     Hinv_st = jnp.asarray(ing["Hinv_st"], dtype)
@@ -608,7 +612,7 @@ def _make_cs_banded_z_step(ing, dtype):
         if x0 is not None:
             # beq nonzero only in the x_0 = x(t) rows (rhs -= beq)
             rhs = rhs.at[:, 0, :n].add(-x0)
-        mu = band_chol_solve(rhs, Alpha, BetaInv)
+        mu = band_solve(rhs, Alpha, BetaInv)
         z = -(h + hinv_apply(gt_apply(mu)))
         return z.reshape(Bsz, -1)
 
@@ -703,7 +707,9 @@ def _build_mpct_cs_banded(sys: dict, param: dict,
     UB = jnp.asarray(ing["UB"], dtype)
     T = jnp.asarray(ing["T"], dtype)
     S = jnp.asarray(ing["S"], dtype)
-    z_step = _make_cs_banded_z_step(ing, dtype)
+    z_step = _make_cs_banded_z_step(
+        ing, dtype,
+        parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
 
     def _solve(x0, xr, ur, init, fixed_iters):
         qstage = jnp.concatenate(
@@ -970,14 +976,17 @@ def mpct_admm_semiband_ingredients(sys: dict, param: dict,
     )
 
 
-def _make_semiband_structured_z_step(ing, dtype):
+def _make_semiband_structured_z_step(ing, dtype, parallel_scan=False):
     """z_step(p, x0 | None) for the O(N)-memory semiband backend — the
     TPU rendering of the reference's Alg. 2 two-level Woodbury
     (code_MPCT_ADMM_semiband_C.c:119-496): block-diagonal Gamma_hat
     solves + rank-2(n+m) level-1 correction, block-tridiagonal Cholesky
     scan on Gamma_tilde + level-2 correction. All online ops are
-    stage-local batched small matmuls; nothing O(N^2) is materialized."""
-    from spcies_tpu.kernels.band_chol import band_chol_solve
+    stage-local batched small matmuls; nothing O(N^2) is materialized.
+    parallel_scan selects the O(log N)-depth associative-scan band solve."""
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan)
+    band_solve = band_chol_solve_scan if parallel_scan else band_chol_solve
     n, m, N = ing["n"], ing["m"], ing["N"]
     nm = n + m
     Nb = N + 2
@@ -1027,7 +1036,7 @@ def _make_semiband_structured_z_step(ing, dtype):
         rhs = -g_apply(h1)
         if x0 is not None:
             rhs = rhs.at[:, 0].add(-x0)
-        wr = band_chol_solve(rhs, Alpha, BetaInv)
+        wr = band_solve(rhs, Alpha, BetaInv)
         wf = wr.reshape(wr.shape[0], -1)
         muf = wf + ((wf @ Vt) @ K2.T) @ Pu.T
         mu = muf.reshape(-1, Nb, n)
@@ -1073,7 +1082,9 @@ def build_mpct_admm_semiband(sys: dict, param: dict, opt: Options,
     sv = ing["nv"] // (N + 1)
 
     if backend == "banded":
-        zs_structured = _make_semiband_structured_z_step(ing, dtype)
+        zs_structured = _make_semiband_structured_z_step(
+            ing, dtype,
+            parallel_scan=bool(opt.solver.get("band_parallel_scan", False)))
         z_step_lin = lambda dp: zs_structured(dp, None)
         # stage-local C~ applies (C~ is block diagonal with one shared
         # stage map), keeping the constrained-output path O(N)

@@ -305,3 +305,29 @@ def test_banded_single_matches_dense(fixture, use_soc):
         gap = np.max(np.abs(np.asarray(rb.sol[key])
                             - np.asarray(rd.sol[key])))
         assert gap < 1e-9, (key, gap)
+
+
+@pytest.mark.parametrize("submethod", [None, "split"])
+def test_banded_parallel_scan_matches_sequential(fixture, submethod):
+    """band_parallel_scan=True: the HMPC structured-KKT band solve through
+    the O(log N)-depth associative scan must reproduce the sequential
+    banded backend (both single-split and two-block split)."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["N"] = 40
+    p["Te"] = 10 * p["N"] * np.asarray(p["Q"])
+    p["Th"] = p["Te"]
+    kw = dict(OPTS, use_soc=False)
+    sub = dict(submethod=submethod) if submethod else {}
+    s_seq = sp.make_solver(sys, p, formulation="HMPC", method="ADMM",
+                           backend="banded", **sub, **kw)
+    s_par = sp.make_solver(sys, p, formulation="HMPC", method="ADMM",
+                           backend="banded", band_parallel_scan=True,
+                           **sub, **kw)
+    rs = s_seq(st["x"], st["xr"], st["ur"], fixed_iters=100)
+    rp = s_par(st["x"], st["xr"], st["ur"], fixed_iters=100)
+    keys = ("z", "s", "lam", "mu") if submethod else ("z", "s", "lam")
+    for key in keys:
+        gap = np.max(np.abs(np.asarray(rs.sol[key])
+                            - np.asarray(rp.sol[key])))
+        assert gap < 1e-8, (key, gap)

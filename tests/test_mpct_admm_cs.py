@@ -129,3 +129,26 @@ def test_banded_long_horizon_n120(fixture):
         assert np.max(np.abs(np.asarray(res.sol[key][0])
                              - sol_o[key])) < 1e-8
     assert np.max(np.abs(np.asarray(res.u[0]) - u_o)) < 1e-9
+
+
+def test_banded_parallel_scan_matches_sequential(fixture):
+    """band_parallel_scan=True routes the MPCT-cs structured backend's
+    block-tridiagonal solve through the O(log N)-depth associative scan
+    (kernels.band_chol.band_chol_solve_scan); results must match the
+    sequential scan backend."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["N"] = 40
+    kw = dict(rho=1e-2, tol=1e-6, k_max=5000)
+    s_seq = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="cs", backend="banded", **kw)
+    s_par = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="cs", backend="banded",
+                           band_parallel_scan=True, **kw)
+    rs = s_seq(st["x"], st["xr"], st["ur"])
+    rp = s_par(st["x"], st["xr"], st["ur"])
+    assert int(rs.e_flag[0]) == int(rp.e_flag[0]) == 1
+    assert int(rs.k[0]) == int(rp.k[0])
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rs.sol[key][0])
+                             - np.asarray(rp.sol[key][0]))) < 1e-8

@@ -196,3 +196,25 @@ def test_banded_backend_vector_rho(fixture):
     assert int(rb.e_flag[0]) == 1
     assert int(rb.k[0]) == int(rd.k[0])
     assert np.max(np.abs(np.asarray(rb.u) - np.asarray(rd.u))) < 1e-9
+
+
+def test_banded_parallel_scan_matches_sequential(fixture):
+    """band_parallel_scan=True: the semiband structured backend's
+    Gamma_tilde band solve through the O(log N)-depth associative scan
+    must reproduce the sequential banded backend."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["N"] = 40
+    opts = dict(rho=0.5, tol_p=1e-6, tol_d=1e-6, k_max=3000)
+    s_seq = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="semiband", backend="banded", **opts)
+    s_par = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="semiband", backend="banded",
+                           band_parallel_scan=True, **opts)
+    rs = s_seq(st["x"], st["xr"], st["ur"])
+    rp = s_par(st["x"], st["xr"], st["ur"])
+    assert int(rs.e_flag[0]) == int(rp.e_flag[0]) == 1
+    assert int(rs.k[0]) == int(rp.k[0])
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rs.sol[key][0])
+                             - np.asarray(rp.sol[key][0]))) < 1e-8

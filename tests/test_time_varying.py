@@ -171,3 +171,34 @@ def test_tv_fista_perturbed_vs_oracle(fixture):
     assert int(res.k[0]) == k_o
     for key in ("z", "lam"):
         assert np.max(np.abs(np.asarray(res.sol[key][0]) - sol_o[key])) < 1e-8
+
+
+@pytest.mark.parametrize("formulation,extra", [
+    ("laxMPC", dict(tv_dense_w=True)),
+    ("equMPC", dict(tv_dense_w=True)),
+    ("laxMPC", dict(band_parallel_scan=True)),
+])
+def test_tv_solve_variants_match_banded(fixture, formulation, extra):
+    """tv_dense_w (per-lane dense W + batched Cholesky — the
+    structure-oblivious [B, Nn, Nn] path) and band_parallel_scan
+    (associative-scan band solve) must reproduce the banded TV solver."""
+    sys, param, st = fixture
+    p = dict(param)
+    if formulation == "equMPC":
+        p.pop("T")
+    opt_b = sp.default_options(formulation, "ADMM", **OPTS)
+    opt_b.time_varying = True
+    opt_v = sp.default_options(formulation, "ADMM", **OPTS, **extra)
+    opt_v.time_varying = True
+    s_b = sp.make_solver(sys, p, formulation=formulation, method="ADMM",
+                         options=opt_b)
+    s_v = sp.make_solver(sys, p, formulation=formulation, method="ADMM",
+                         options=opt_v)
+    inputs = _tv_inputs(sys, param, st, scale_A=1.03)
+    rb = s_b(*inputs)
+    rv = s_v(*inputs)
+    assert int(rb.e_flag[0]) == int(rv.e_flag[0]) == 1
+    assert int(rb.k[0]) == int(rv.k[0])
+    for key in ("z", "v", "lam"):
+        assert np.max(np.abs(np.asarray(rb.sol[key][0])
+                             - np.asarray(rv.sol[key][0]))) < 1e-8

@@ -1,13 +1,20 @@
-"""Long-horizon bench: the O(N) structured ('banded') backends vs their
-dense counterparts at N in {30, 60, 120} — throughput AND device memory
-(VERDICT r2 next-#6: committed evidence behind the docs/MPC.md memory
-claims, the regime the reference's semiband/CSR-LDL machinery exists for,
+"""Long-horizon bench: the O(N) structured ('banded') backends and their
+O(log N)-depth associative-scan variants ('scan') vs the dense path at
+N in {30, 120, 240, 480, 960} — throughput AND measured executable memory
+(VERDICT r3 next-#1/#3: find the dense-vs-structured crossover, and replace
+ingredient-byte counting with XLA's compiled memory analysis; the regime
+the reference's semiband/CSR-LDL machinery exists for,
 compute_MPCT_ADMM_semiband_ingredients.m:163-227).
 
-Each (family, backend, N) cell runs in a FRESH SUBPROCESS so
-peak_bytes_in_use is a clean per-config measurement (one process = one
-solver + one batch). Throughput uses fixed_iters so both backends do
-identical iteration work regardless of convergence speed.
+Also runs a time-varying section where every lane carries its own model:
+backend 'banded' = online band-Cholesky factors [B, N, n, n]; backend
+'dense' = tv_dense_w (per-lane dense W [B, Nn, Nn] + batched Cholesky).
+The dense-TV path hits the HBM wall at (B, N) points the banded backend
+completes — the memory half of the O(N) claim, measured for real.
+
+Each (family, backend, N) cell runs in a FRESH SUBPROCESS so failures
+(incl. device OOM, recorded as infeasible=true) don't poison later cells.
+Throughput uses fixed_iters so all backends do identical iteration work.
 
     python tools/bench_longn.py [--out BENCH_LONGN.json]
     python tools/bench_longn.py --single FAMILY BACKEND N   # one cell
@@ -23,57 +30,86 @@ sys.path.insert(0, ROOT)
 
 FAMILIES = {
     # family: (backends, fixed solver kwargs)
-    "laxMPC-ADMM": (("dense", "banded"), dict(rho=15.0, tol=1e-4,
-                                              k_max=1000)),
-    "MPCT-ADMM-cs": (("dense", "banded"), dict(rho=2.0, tol=1e-4,
-                                               k_max=1000)),
-    "MPCT-ADMM-semiband": (("dense", "banded"), dict(rho=0.5, tol_p=1e-4,
-                                                     tol_d=1e-4,
-                                                     k_max=1000)),
-    "HMPC-ADMM-split": (("dense", "banded"), dict(rho=2.0, sigma=20.0,
-                                                  tol_p=1e-4, tol_d=1e-4,
-                                                  k_max=1000)),
+    "laxMPC-ADMM": (("dense", "banded", "scan"),
+                    dict(rho=15.0, tol=1e-4, k_max=1000)),
+    "MPCT-ADMM-cs": (("dense", "banded", "scan"),
+                     dict(rho=2.0, tol=1e-4, k_max=1000)),
+    "MPCT-ADMM-semiband": (("dense", "banded", "scan"),
+                           dict(rho=0.5, tol_p=1e-4, tol_d=1e-4,
+                                k_max=1000)),
+    "HMPC-ADMM-split": (("dense", "banded", "scan"),
+                        dict(rho=2.0, sigma=20.0, tol_p=1e-4, tol_d=1e-4,
+                             k_max=1000)),
+    # time-varying, per-lane model matrices: 'dense' = tv_dense_w
+    # ([B, Nn, Nn] per-lane W), 'banded' = online band factors
+    "laxMPC-ADMM-tv": (("dense", "banded", "scan"),
+                       dict(rho=15.0, tol=1e-4, k_max=1000)),
 }
-NS = (30, 60, 120)
-B = 4096
+NS = (30, 120, 240, 480, 960)
 ITERS = 100
+
+
+def batch_for(N):
+    """Scale the batch down with the horizon so per-cell work stays
+    roughly constant and the structured backends are measured at
+    realistic occupancy (solves/s is normalized by B anyway)."""
+    return {30: 4096, 120: 4096, 240: 2048, 480: 1024, 960: 512}[N]
 
 
 def run_single(family, backend, N):
     import time
     import numpy as np
     # persistent compile cache: each cell is a fresh process and pays
-    # ~1-4 min of XLA compile otherwise; with the cache, resumed/repeated
-    # runs skip straight to the measurement
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_cache_spcies")
+    # ~1-4 min of XLA compile otherwise (user-scoped dir; honor an
+    # explicit JAX_COMPILATION_CACHE_DIR)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_spcies"))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import spcies_tpu as sp
 
+    B = batch_for(N)
     sys_, param, st = sp.systems.tester_fixture()
     param = dict(param)
     param["N"] = N
     backends, kw = FAMILIES[family]
-    if family == "laxMPC-ADMM":
+    kw = dict(kw)
+    be = {"scan": "banded"}.get(backend, backend)
+    if backend == "scan":
+        kw["band_parallel_scan"] = True
+    tv = family.endswith("-tv")
+    if tv and backend == "dense":
+        kw["tv_dense_w"] = True
+        be = "dense"
+
+    def opts(f, m, sm=""):
+        o = sp.default_options(f, m, sm, **kw)
+        o.precision = "float"
+        if tv:
+            o.time_varying = True
+        return o
+
+    if family.startswith("laxMPC-ADMM"):
         make = lambda: sp.make_solver(
             sys_, param, formulation="laxMPC", method="ADMM",
-            backend=backend, options=opts("laxMPC", "ADMM"))
+            backend="banded" if (tv and be != "dense") else be,
+            options=opts("laxMPC", "ADMM"))
     elif family == "MPCT-ADMM-cs":
         param["T"] = 10.0 * np.asarray(param["Q"])
         param["S"] = np.asarray(param["R"]).copy()
         make = lambda: sp.make_solver(
             sys_, param, formulation="MPCT", method="ADMM",
-            submethod="cs", backend=backend,
+            submethod="cs", backend=be,
             options=opts("MPCT", "ADMM", "cs"))
     elif family == "MPCT-ADMM-semiband":
         param["T"] = 10.0 * np.asarray(param["Q"])
         param["S"] = np.asarray(param["R"]).copy()
         make = lambda: sp.make_solver(
             sys_, param, formulation="MPCT", method="ADMM",
-            submethod="semiband", backend=backend,
+            submethod="semiband", backend=be,
             options=opts("MPCT", "ADMM", "semiband"))
     elif family == "HMPC-ADMM-split":
         param.pop("T", None)
@@ -84,43 +120,56 @@ def run_single(family, backend, N):
         param["Sh"] = 0.5 * param["Se"]
         make = lambda: sp.make_solver(
             sys_, param, formulation="HMPC", method="ADMM",
-            submethod="split", backend=backend,
+            submethod="split", backend=be,
             options=opts("HMPC", "ADMM", "split"))
-
-    def opts(f, m, sm=""):
-        o = sp.default_options(f, m, sm, **kw)
-        o.precision = "float"
-        return o
 
     live0 = sum(a.nbytes for a in jax.live_arrays())
     solver = make()
-    # device-resident online constants created by the builder (the axon
-    # TPU plugin does not expose memory_stats, so ingredient memory is
-    # measured as the live-device-array delta across the build)
     ingredient_bytes = sum(a.nbytes for a in jax.live_arrays()) - live0
     rng = np.random.default_rng(0)
     x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
     xr = np.tile(st["xr"], (B, 1))
     ur = np.tile(st["ur"], (B, 1))
     dev = lambda a: jax.device_put(jax.numpy.asarray(a, jax.numpy.float32))
-    args = (dev(x0), dev(xr), dev(ur))
+    if tv:
+        n, m = solver.n, solver.m
+        A0 = np.asarray(sys_["A"], float)
+        B0 = np.asarray(sys_["B"], float)
+        # per-lane perturbed models (the per-lane-ingredient regime)
+        scale = rng.uniform(0.97, 1.03, (B, 1, 1))
+        A_l = np.tile(A0, (B, 1, 1)) * scale
+        B_l = np.tile(B0, (B, 1, 1))
+        Qd = np.tile(np.diag(np.asarray(param["Q"], float)), (B, 1))
+        Rd = np.tile(np.diag(np.asarray(param["R"], float)), (B, 1))
+        LB = np.tile(np.concatenate([sys_["LBx"], sys_["LBu"]]), (B, 1))
+        UB = np.tile(np.concatenate([sys_["UBx"], sys_["UBu"]]), (B, 1))
+        args = tuple(dev(a) for a in
+                     (x0, xr, ur, A_l, B_l, Qd, Rd, LB, UB))
+    else:
+        args = (dev(x0), dev(xr), dev(ur))
 
+    mem = solver.aot_memory_analysis(*args, fixed_iters=ITERS) or {}
     res = solver(*args, fixed_iters=ITERS)
     jax.block_until_ready(res.u)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         res = solver(*args, fixed_iters=ITERS)
         jax.block_until_ready(res.u)
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
-    stats = jax.local_devices()[0].memory_stats() or {}
+    times.sort()
+    dt = times[len(times) // 2]
     out = dict(
         family=family, backend=backend, N=N, batch=B, iters=ITERS,
         solves_per_s=round(B / dt, 1),
+        solves_per_s_min=round(B / times[-1], 1),
+        solves_per_s_max=round(B / times[0], 1),
         lane_iters_per_s=round(B * ITERS / dt, 1),
         ingredient_bytes=int(ingredient_bytes),
-        peak_bytes_in_use=int(stats.get("peak_bytes_in_use", -1)),
+        mem_argument_bytes=mem.get("argument_bytes", -1),
+        mem_output_bytes=mem.get("output_bytes", -1),
+        mem_temp_bytes=mem.get("temp_bytes", -1),
+        mem_peak_bytes=mem.get("peak_bytes", -1),
         platform=jax.devices()[0].platform,
     )
     print("RESULT " + json.dumps(out))
@@ -149,24 +198,36 @@ def main():
     def flush():
         if args.out:
             with open(args.out, "w") as f:
-                json.dump(dict(batch=B, iters=ITERS, rows=rows), f,
-                          indent=1)
+                json.dump(dict(iters=ITERS, rows=rows), f, indent=1)
 
     for family, (backends, _kw) in FAMILIES.items():
         for N in NS:
             for be in backends:
                 if (family, be, N) in done:
                     continue
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--single", family, be, str(N)],
-                    capture_output=True, text=True, timeout=1800)
+                try:
+                    p = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--single", family, be, str(N)],
+                        capture_output=True, text=True, timeout=2400)
+                except subprocess.TimeoutExpired:
+                    rows.append(dict(family=family, backend=be, N=N,
+                                     error="timeout", infeasible=False))
+                    print(f"{family:22s} {be:7s} N={N:4d}  TIMEOUT",
+                          flush=True)
+                    flush()
+                    continue
                 line = [ln for ln in p.stdout.splitlines()
                         if ln.startswith("RESULT ")]
                 if p.returncode != 0 or not line:
+                    err = (p.stderr or p.stdout)[-600:]
+                    oom = ("RESOURCE_EXHAUSTED" in err or "memory" in err
+                           or "Out of memory" in err)
                     rows.append(dict(family=family, backend=be, N=N,
-                                     error=(p.stderr or p.stdout)[-400:]))
-                    print(f"{family:22s} {be:7s} N={N:4d}  FAILED",
+                                     batch=batch_for(N),
+                                     infeasible=bool(oom), error=err[-400:]))
+                    print(f"{family:22s} {be:7s} N={N:4d}  "
+                          f"{'INFEASIBLE (OOM)' if oom else 'FAILED'}",
                           flush=True)
                     flush()
                     continue
@@ -174,7 +235,7 @@ def main():
                 rows.append(r)
                 print(f"{family:22s} {be:7s} N={N:4d}  "
                       f"{r['solves_per_s']:>10.1f} solves/s  "
-                      f"peak={r['peak_bytes_in_use']/1e6:.1f} MB",
+                      f"peak={r['mem_peak_bytes']/1e6:.1f} MB",
                       flush=True)
                 flush()
     if args.out:

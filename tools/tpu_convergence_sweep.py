@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 # persistent XLA compile cache shared with bench.py / tools/bench_longn.py
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_spcies")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_spcies"))
 import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -148,7 +149,6 @@ check("ellipMPC-soc-fused", sp.make_solver(
 ok = all(r["converged_frac"] == 1.0 for r in results.values())
 print("ALL CONVERGED" if ok else "FAILURES")
 if cli.out:
-    import jax
     record = dict(platform=jax.devices()[0].platform, batch=B,
                   all_converged=ok, families=results)
     with open(cli.out, "w") as f:
