@@ -78,12 +78,18 @@ class BatchedSolver:
                                  if input_core_ndims is not None
                                  else (1,) * len(input_names))
         # per-input unit kind for the in_engineering scaling
-        # ('x' | 'u' | 'xu' | None), defaulting to the (x0, xr, ur)
-        # signature (code_laxMPC_ADMM_C.c:82-115)
+        # ('x' | 'u' | 'xu' | 'xa' | 'ua' | None), defaulting to the
+        # (x0, xr, ur) signature (code_laxMPC_ADMM_C.c:82-115). 'xa'/'ua'
+        # are sinusoid AMPLITUDES (harmonic sine/cosine components): they
+        # scale by Nx/Nu but carry no operating-point offset — for
+        # x_eng(t) = xre + xrs sin + xrc cos, the incremental signal is
+        # Nx(xre - opx) + (Nx xrs) sin + (Nx xrc) cos.
         if input_kinds is None:
             input_kinds = tuple(
                 {"x0": "x", "xr": "x", "ur": "u", "LB": "xu",
-                 "UB": "xu"}.get(name) for name in input_names)
+                 "UB": "xu", "xre": "x", "ure": "u", "xrs": "xa",
+                 "xrc": "xa", "urs": "ua", "urc": "ua"}.get(name)
+                for name in input_names)
         self.input_kinds = tuple(input_kinds)
         self.n_inputs = len(input_names)
         # solve_fn(*inputs, init, fixed_iters) with static fixed_iters
@@ -115,6 +121,10 @@ class BatchedSolver:
                 a = self._Nx * (np.asarray(a, float) - self._opx)
             elif kind == "u":
                 a = self._Nu * (np.asarray(a, float) - self._opu)
+            elif kind == "xa":
+                a = self._Nx * np.asarray(a, float)
+            elif kind == "ua":
+                a = self._Nu * np.asarray(a, float)
             elif kind == "xu":
                 a = np.asarray(a, float)
                 sc = np.concatenate([self._Nx, self._Nu])

@@ -549,13 +549,57 @@ def _float_setup(triple, sys, param, st):
     return sys, p, kw, 5e-3
 
 
+
+def _make_bridge(triple, name, s_jax, outdir, precision="double"):
+    """Select the matching ctypes bridge class for a generated triple."""
+    from spcies_tpu.codegen import (CompiledCFistaSolver,
+                                    CompiledCMpctEadmmSolver,
+                                    CompiledCHmpcSolver)
+    f, m_, sm = triple
+    ing = s_jax.ingredients
+    if f in ("laxMPC", "equMPC", "ellipMPC") and m_ == "ADMM" and not sm:
+        return CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                               directory=outdir, precision=precision)
+    if m_ == "FISTA":
+        return CompiledCFistaSolver(name, n=s_jax.n, m=s_jax.m, N=s_jax.N,
+                                    nz=s_jax.nz, directory=outdir,
+                                    precision=precision)
+    if m_ == "EADMM":
+        return CompiledCMpctEadmmSolver(name, n=s_jax.n, m=s_jax.m,
+                                        N=s_jax.N, directory=outdir,
+                                        precision=precision)
+    if (f, sm) == ("MPCT", "cs"):
+        return CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
+                               directory=outdir, precision=precision)
+    if (f, sm) == ("MPCT", "semiband"):
+        return CompiledCSemibandSolver(name, n=s_jax.n, m=s_jax.m,
+                                       nz=ing["nz"],
+                                       nv=ing.get("nv", ing["nz"]),
+                                       directory=outdir,
+                                       precision=precision)
+    if (f, sm) == ("ellipMPC", "soc"):
+        return CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
+                                    dim=ing["dim"], n_s=ing["n_s"],
+                                    has_radius=True, directory=outdir,
+                                    precision=precision)
+    if f == "ellipHMPC":
+        return CompiledCEllipHmpcSolver(name, n=s_jax.n, m=s_jax.m,
+                                        dim=ing["dim"], n_s=ing["n_s"],
+                                        directory=outdir,
+                                        precision=precision)
+    if sm == "split":
+        return CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
+                                    dim=ing["dim"], n_s=ing["n_s"],
+                                    directory=outdir, precision=precision)
+    return CompiledCHmpcSolver(name, n=s_jax.n, m=s_jax.m,
+                               dim=ing["dim"], n_s=ing["n_s"],
+                               directory=outdir, precision=precision)
+
+
 @pytest.mark.parametrize("triple", _FLOAT_TRIPLES,
                          ids=["-".join(filter(None, t))
                               for t in _FLOAT_TRIPLES])
 def test_c_float_precision_all_triples(base, outdir, triple):
-    from spcies_tpu.codegen import (CompiledCFistaSolver,
-                                    CompiledCMpctEadmmSolver,
-                                    CompiledCHmpcSolver)
     f, m_, sm = triple
     sys0, param, st = base
     sysd, p, kw, u_tol = _float_setup(triple, sys0, param, st)
@@ -571,43 +615,7 @@ def test_c_float_precision_all_triples(base, outdir, triple):
 
     s_jax = sp.make_solver(sysd, p, formulation=f, method=m_,
                            submethod=sm, **kw)
-    ing = s_jax.ingredients
-    if f in ("laxMPC", "equMPC", "ellipMPC") and m_ == "ADMM" and not sm:
-        c = CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
-                            directory=outdir, precision="float")
-    elif m_ == "FISTA":
-        c = CompiledCFistaSolver(name, n=s_jax.n, m=s_jax.m, N=s_jax.N,
-                                 nz=s_jax.nz, directory=outdir,
-                                 precision="float")
-    elif m_ == "EADMM":
-        c = CompiledCMpctEadmmSolver(name, n=s_jax.n, m=s_jax.m,
-                                     N=s_jax.N, directory=outdir,
-                                     precision="float")
-    elif (f, sm) == ("MPCT", "cs"):
-        c = CompiledCSolver(name, n=s_jax.n, m=s_jax.m, nz=s_jax.nz,
-                            directory=outdir, precision="float")
-    elif (f, sm) == ("MPCT", "semiband"):
-        c = CompiledCSemibandSolver(name, n=s_jax.n, m=s_jax.m,
-                                    nz=ing["nz"], nv=ing.get("nv",
-                                                             ing["nz"]),
-                                    directory=outdir, precision="float")
-    elif (f, sm) == ("ellipMPC", "soc"):
-        c = CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
-                                 dim=ing["dim"], n_s=ing["n_s"],
-                                 has_radius=True, directory=outdir,
-                                 precision="float")
-    elif f == "ellipHMPC":
-        c = CompiledCEllipHmpcSolver(name, n=s_jax.n, m=s_jax.m,
-                                     dim=ing["dim"], n_s=ing["n_s"],
-                                     directory=outdir, precision="float")
-    elif sm == "split":
-        c = CompiledCSplitSolver(name, n=s_jax.n, m=s_jax.m,
-                                 dim=ing["dim"], n_s=ing["n_s"],
-                                 directory=outdir, precision="float")
-    else:   # HMPC single-split
-        c = CompiledCHmpcSolver(name, n=s_jax.n, m=s_jax.m,
-                                dim=ing["dim"], n_s=ing["n_s"],
-                                directory=outdir, precision="float")
+    c = _make_bridge(triple, name, s_jax, outdir, precision="float")
 
     if f == "ellipHMPC":
         zeros_n = np.zeros(s_jax.n)
@@ -627,3 +635,137 @@ def test_c_float_precision_all_triples(base, outdir, triple):
     assert e_c == 1, (triple, k_c)
     assert int(r.e_flag[0]) == 1
     assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < u_tol, triple
+
+
+# ---------------------------------------------------------------------------
+# in_engineering across every generated triple (the reference bakes
+# engineering-units scaling into every formulation's generated solver,
+# e.g. cons_MPCT_EADMM_C.m:109, code_HMPC_ADMM_C.c scaling blocks,
+# code_ellipMPC_ADMM_C.c): scaled inputs on entry, de-scaled u on exit,
+# matched against the JAX engineering path at the fp64 contract.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("triple", _FLOAT_TRIPLES,
+                         ids=["-".join(filter(None, t))
+                              for t in _FLOAT_TRIPLES])
+def test_c_engineering_units_all_triples(base, outdir, triple):
+    f, m_, sm = triple
+    sys0, param, st = base
+    sysd, p, kw, _ = _float_setup(triple, sys0, param, st)
+    n = len(st["x"])
+    mdim = sysd["B"].shape[1]
+    Nx, Nu = np.full(n, 1.5), np.full(mdim, 0.8)
+    x_op, u_op = 0.01 * np.ones(n), 0.02 * np.ones(mdim)
+    sysd = dict(sysd, Nx=Nx, Nu=Nu, x0=x_op, u0=u_op)
+    kw = dict(kw)
+    # tight tolerances so both paths iterate to the same exit
+    for key in ("tol", "tol_p", "tol_d"):
+        if key in kw:
+            kw[key] = 1e-7
+    name = ("eng_" + "_".join(filter(None, triple))).lower()
+
+    opt = sp.default_options(f, m_, sm, **kw)
+    opt.in_engineering = True
+    generate_embedded_solver(sysd, p, formulation=f, method=m_,
+                             submethod=sm, directory=outdir,
+                             save_name=name, options=opt)
+    src = open(f"{outdir}/{name}.c").read()
+    assert "NXV" in src and "OPU" in src
+
+    opt_j = sp.default_options(f, m_, sm, **kw)
+    opt_j.in_engineering = True
+    s_jax = sp.make_solver(sysd, p, formulation=f, method=m_,
+                           submethod=sm, options=opt_j)
+    c = _make_bridge(triple, name, s_jax, outdir)
+
+    # engineering-unit inputs that map to the tester-fixture incremental
+    # scenario: x_eng = x_incr / Nx + op (amplitudes carry no offset)
+    x0e = np.asarray(st["x"]) / Nx + x_op
+    xre = np.asarray(st["xr"]) / Nx + x_op
+    ure = np.asarray(st["ur"]) / Nu + u_op
+    if f == "ellipHMPC":
+        za = np.zeros(n)
+        zu = np.zeros(mdim)
+        args = (x0e, xre, za, za, ure, zu, zu)
+        u_c, k_c, e_c, sol_c = c(*args)
+        r = s_jax(*args)
+    elif (f, sm) == ("ellipMPC", "soc"):
+        u_c, k_c, e_c, sol_c = c(x0e, xre, ure, 0.5)
+        r = s_jax(x0e, xre, ure, np.array([0.5]))
+    else:
+        u_c, k_c, e_c, sol_c = c(x0e, xre, ure)
+        r = s_jax(x0e, xre, ure)
+    assert e_c == 1 and int(r.e_flag[0]) == 1, (triple, k_c)
+    assert k_c == int(r.k[0]), triple
+    # u returned in ENGINEERING units by both paths
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-9, triple
+
+
+def test_c_ellipmpc_vector_rho_matches_jax(base, outdir):
+    """Vector-rho ellipMPC C (the reference's non-SCALAR_RHO path,
+    cons_ellipMPC_ADMM_C.m SCALAR_RHO block): per-entry RHOV on the stage
+    rows, scalar RHO_T on the P-weighted terminal block."""
+    from spcies_tpu.codegen import generate_c_solver
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = np.diag(np.sum(np.asarray(p["T"]), axis=1))
+    n = len(st["x"])
+    p["P"] = np.eye(n)
+    p["c"] = np.asarray(st["xr"])
+    p["r"] = 0.5
+    nm = n + len(st["ur"])
+    N = int(p["N"])
+    nz = N * nm
+    rho_vec = 15.0 * (1.0 + 0.5 * np.sin(np.arange(nz)))
+    rho_vec[nz - n:] = 20.0       # terminal block must be constant
+    opts = dict(rho=rho_vec, tol=1e-7, k_max=5000)
+    generate_c_solver(sys, p, formulation="ellipMPC", directory=outdir,
+                      save_name="ellipmpc_vrho", **opts)
+    src = open(f"{outdir}/ellipmpc_vrho.c").read()
+    assert "RHOV" in src and "RHO_T" in src
+    s_jax = sp.make_solver(sys, p, formulation="ellipMPC", method="ADMM",
+                           **opts)
+    c = CompiledCSolver("ellipmpc_vrho", n=s_jax.n, m=s_jax.m,
+                        nz=s_jax.nz, directory=outdir)
+    rng = np.random.default_rng(29)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+
+
+def test_c_mpct_semiband_vector_rho_matches_jax(base, outdir):
+    """Vector-rho MPCT-semiband C (reference non-SCALAR_RHO path,
+    cons_MPCT_ADMM_semiband_C.m) incl. the soft-prox beta/rho[r] offsets."""
+    sys, param, st = base
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    n, mdim, N = len(st["x"]), len(st["ur"]), int(p["N"])
+    nv = (N + 1) * (n + mdim)
+    rng = np.random.default_rng(30)
+    rho_vec = 0.3 + 0.4 * rng.random(nv)
+    opts = dict(rho=rho_vec, tol_p=1e-7, tol_d=1e-7, k_max=5000,
+                soft_constraints=True, beta=1.0)
+    generate_embedded_solver(sys, p, formulation="MPCT", method="ADMM",
+                             submethod="semiband", directory=outdir,
+                             save_name="mpct_semiband_vrho", **opts)
+    src = open(f"{outdir}/mpct_semiband_vrho.c").read()
+    assert "RHOV" in src and "BRV" in src
+    s_jax = sp.make_solver(sys, p, formulation="MPCT", method="ADMM",
+                           submethod="semiband", **opts)
+    ing = s_jax.ingredients
+    c = CompiledCSemibandSolver("mpct_semiband_vrho", n=s_jax.n,
+                                m=s_jax.m, nz=ing["nz"], nv=ing["nv"],
+                                directory=outdir)
+    for trial in range(2):
+        x0 = np.asarray(st["x"]) * rng.uniform(-2.0, 2.0)
+        u_c, k_c, e_c, sol_c = c(x0, st["xr"], st["ur"])
+        r = s_jax(x0, st["xr"], st["ur"])
+        assert e_c == int(r.e_flag[0]) == 1
+        assert k_c == int(r.k[0])
+        _compare(sol_c, r, ("z", "v", "lam"))
+        assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
