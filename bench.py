@@ -39,8 +39,14 @@ def _bench_solver(solver, args, reps=5):
         res = solver(*args)
         res.u.block_until_ready()
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    times.sort()
+    dt = times[len(times) // 2]
+    # min/median/max spread (VERDICT r3 next-#9): the shared-tunnel TPU's
+    # ~7% run-to-run variance is recorded so cross-round deltas are
+    # interpretable
     return dict(solves_per_s=round(n / dt, 1),
+                solves_per_s_min=round(n / times[-1], 1),
+                solves_per_s_max=round(n / times[0], 1),
                 k_mean=round(k_mean, 1),
                 converged_frac=round(n_conv / n, 4),
                 batch=n,

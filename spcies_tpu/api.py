@@ -267,7 +267,90 @@ def make_solver(sys: dict, param: dict, *, formulation: str = "",
             "backend='dense' (or 'banded') for debug=1/2 runs")
     from spcies_tpu.formulations.base import get_builder
     builder = get_builder(opt.formulation, opt.method, opt.submethod)
-    solver = builder(sys, param, opt, backend=backend)
+    if backend == "auto":
+        solver = _auto_backend(builder, sys, param, opt)
+    else:
+        solver = builder(sys, param, opt, backend=backend)
     if opt.in_engineering:
         solver.set_engineering(sys)
+    return solver
+
+
+def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
+    """backend='auto': build every available backend for the triple and
+    pick the fastest by a short on-device probe (fixed-iteration batched
+    solve, compile excluded). Exists because no static rule wins
+    everywhere: the fused VMEM-resident kernels dominate at the N=30
+    headline but lose to the dense XLA loop at tiny nz (the 128-lane
+    padding penalty, e.g. nz=80 -> 37% dead lanes at the N=10 reference
+    fixture), and the O(N) banded paths only pay off at long horizons.
+    Probe knobs (solver options): auto_probe_batch (default 2048),
+    auto_probe_iters (50), auto_probe_reps (3). The winning backend name
+    lands in solver.backend_choice; per-candidate probe times in
+    solver.backend_probe_s."""
+    import time
+    probe_b = int(opt.solver.get("auto_probe_batch", 2048))
+    probe_iters = int(opt.solver.get("auto_probe_iters", 50))
+    probe_reps = int(opt.solver.get("auto_probe_reps", 3))
+
+    candidates = {}
+    for be in ("dense", "fused", "banded"):
+        if be == "fused" and opt.debug:
+            continue    # genHist traces are unavailable on fused
+        try:
+            candidates[be] = builder(sys, param, opt, backend=be)
+        except Exception:
+            continue
+    if not candidates:
+        raise ValueError("no backend could be built for this triple")
+    if len(candidates) == 1:
+        (be, solver), = candidates.items()
+        solver.backend_choice = be
+        solver.backend_probe_s = {}
+        return solver
+
+    times: dict[str, float] = {}
+    for be, solver in candidates.items():
+        inputs = []
+        for kind in solver.input_kinds:
+            if kind in ("x", "xa"):
+                dim = solver.n
+            elif kind in ("u", "ua"):
+                dim = solver.m
+            elif kind == "xu":
+                dim = solver.n + solver.m
+            else:
+                inputs = None
+                break
+            inputs.append(np.zeros((probe_b, dim), solver.dtype))
+        if inputs is None or len(inputs) < solver.n_inputs:
+            # trailing inputs without a unit kind (e.g. the soc runtime
+            # radius) fall back to their registered defaults
+            base = len(inputs or [])
+            missing = solver.n_inputs - base
+            if inputs is None or missing > len(solver.default_inputs):
+                times[be] = float("inf")
+                continue
+            inputs = inputs + [
+                jnp.broadcast_to(jnp.asarray(d, solver.dtype),
+                                 (probe_b,) + np.shape(d))
+                for d in solver.default_inputs[-missing:]]
+        try:
+            res = solver(*inputs, fixed_iters=probe_iters)
+            jax.block_until_ready(res.u)
+            reps = []
+            for _ in range(probe_reps):
+                t0 = time.perf_counter()
+                res = solver(*inputs, fixed_iters=probe_iters)
+                jax.block_until_ready(res.u)
+                reps.append(time.perf_counter() - t0)
+            times[be] = sorted(reps)[len(reps) // 2]
+        except Exception:
+            times[be] = float("inf")
+    best = min(times, key=times.get)
+    if not np.isfinite(times[best]):
+        raise ValueError("every candidate backend failed the auto probe")
+    solver = candidates[best]
+    solver.backend_choice = best
+    solver.backend_probe_s = times
     return solver
