@@ -263,21 +263,76 @@ def main():
         options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
                      tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
                      check_every=8)), ("dense", "fused"))
-    # ellipHMPC (7-input decomposed references)
+    # ellipHMPC (7-input decomposed references). Scenario fixed in r04
+    # (VERDICT r3 weak-#3): per-lane sinusoidal position references whose
+    # amplitude EXCEEDS the coupled-output bounds, so the harmonic cone
+    # constraints bind and the hot loop actually runs (k_mean ~170 at
+    # rho=200 vs the old all-slack scenario's k=4 dispatch-only row).
     sysE = dict(sys_)
     n_x, m_u = len(st["x"]), len(st["ur"])
     sysE["E"] = np.eye(3, n_x)
     sysE["F"] = np.zeros((3, m_u))
-    sysE["LBy"] = -0.3 * np.ones(3)
-    sysE["UBy"] = 0.3 * np.ones(3)
-    zn = np.zeros_like(xrb[:FB])
-    zm = np.zeros_like(urb[:FB])
-    ARGS7 = (X0f, XRf, dev(zn), dev(zn), URf, dev(zm), dev(zm))
+    sysE["LBy"] = -0.1 * np.ones(3)
+    sysE["UBy"] = 0.1 * np.ones(3)
+    amp = rng.uniform(0.5, 1.0, (FB, 1)) * 0.25
+    xrs = np.zeros((FB, n_x))
+    xrs[:, :3] = amp
+    xrc = np.zeros((FB, n_x))
+    xrc[:, :3] = 0.5 * amp
+    urs = 0.1 * np.ones((FB, m_u))
+    ARGS7 = (X0f, XRf, dev(xrs), dev(xrc), URf, dev(urs),
+             dev(np.zeros((FB, m_u))))
     family("ellipHMPC-ADMM", lambda be: sp.make_solver(
         sysE, pH, formulation="ellipHMPC", method="ADMM", backend=be,
-        options=opts("ellipHMPC", "ADMM", rho=2.0, sigma=0.01, tol_p=TOL,
-                     tol_d=TOL, k_max=5000, tile_b=256, check_every=8)),
-        ("dense", "fused"), args=ARGS7)
+        options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
+                     tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
+                     check_every=8)), ("dense", "fused"), args=ARGS7)
+
+    # ------------------------------------------------------------------
+    # Warm-start closed-loop rollout (VERDICT r3 next-#10): the receding-
+    # horizon serving pattern — solve, apply u0, propagate, warm-start the
+    # next solve from the previous (z, v, lam) — as ONE jitted scan on
+    # device (runtime/rollout.py; the capability the reference's dead
+    # L_z2/L_z3 warm-start apparatus gestured at,
+    # compute_MPCT_EADMM_ingredients.m:157-193). Reports batched closed-
+    # loop solves/s and per-step k_mean, warm vs cold.
+    # ------------------------------------------------------------------
+    from spcies_tpu.runtime import closed_loop_rollout
+    CLB, CL_STEPS = 4096, 50
+    s_cl = sp.make_solver(
+        sys_, param30, formulation="laxMPC", method="ADMM",
+        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
+                     relax_alpha=1.9))
+    x0cl = dev(x0b[:CLB])
+    xrcl, urcl = dev(xrb[:CLB]), dev(urb[:CLB])
+    Apl, Bpl = np.asarray(sys_["A"]), np.asarray(sys_["B"])
+    for mode, ws in (("warm", True), ("cold", False)):
+        try:
+            out_r = closed_loop_rollout(s_cl, Apl, Bpl, x0cl, xrcl, urcl,
+                                        n_steps=CL_STEPS, warm_start=ws)
+            jax.block_until_ready(out_r["us"])
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out_r = closed_loop_rollout(
+                    s_cl, Apl, Bpl, x0cl, xrcl, urcl,
+                    n_steps=CL_STEPS, warm_start=ws)
+                jax.block_until_ready(out_r["us"])
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            dt = times[len(times) // 2]
+            ks = np.asarray(out_r["ks"])
+            fam[f"closed-loop-{mode}"] = dict(
+                solves_per_s=round(CLB * CL_STEPS / dt, 1),
+                solves_per_s_min=round(CLB * CL_STEPS / times[-1], 1),
+                solves_per_s_max=round(CLB * CL_STEPS / times[0], 1),
+                k_mean=round(float(np.mean(ks)), 1),
+                k_mean_after_step0=round(float(np.mean(ks[1:])), 1),
+                converged_frac=round(float(np.mean(
+                    np.asarray(out_r["e_flags"]) == 1)), 4),
+                batch=CLB, n_steps=CL_STEPS, backend="dense-rollout")
+        except Exception as e:
+            fam[f"closed-loop-{mode}"] = dict(error=str(e)[:160])
 
     rows = [v for v in fam.values() if "vs_baseline" in v]
     out = {

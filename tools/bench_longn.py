@@ -28,24 +28,28 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# family: (backends, per-family N list, fixed solver kwargs). The N lists
+# target the dense-vs-structured crossover question (VERDICT r3 next-#1)
+# within a bounded compile budget: the two starkest r03 loser families
+# (laxMPC, MPCT-cs) sweep the full horizon range; semiband / HMPC-split
+# are confirmed at a single long-horizon point; the TV family probes the
+# per-lane-ingredient memory wall (tv_dense_w vs banded).
 FAMILIES = {
-    # family: (backends, fixed solver kwargs)
-    "laxMPC-ADMM": (("dense", "banded", "scan"),
+    "laxMPC-ADMM": (("dense", "banded", "scan"), (30, 120, 240, 480, 960),
                     dict(rho=15.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-cs": (("dense", "banded", "scan"),
+    "MPCT-ADMM-cs": (("dense", "banded", "scan"), (120, 240, 480),
                      dict(rho=2.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-semiband": (("dense", "banded", "scan"),
+    "MPCT-ADMM-semiband": (("dense", "banded", "scan"), (480,),
                            dict(rho=0.5, tol_p=1e-4, tol_d=1e-4,
                                 k_max=1000)),
-    "HMPC-ADMM-split": (("dense", "banded", "scan"),
+    "HMPC-ADMM-split": (("dense", "banded", "scan"), (480,),
                         dict(rho=2.0, sigma=20.0, tol_p=1e-4, tol_d=1e-4,
                              k_max=1000)),
     # time-varying, per-lane model matrices: 'dense' = tv_dense_w
     # ([B, Nn, Nn] per-lane W), 'banded' = online band factors
-    "laxMPC-ADMM-tv": (("dense", "banded", "scan"),
+    "laxMPC-ADMM-tv": (("dense", "banded", "scan"), (120, 240, 480),
                        dict(rho=15.0, tol=1e-4, k_max=1000)),
 }
-NS = (30, 120, 240, 480, 960)
 ITERS = 100
 
 
@@ -75,7 +79,7 @@ def run_single(family, backend, N):
     sys_, param, st = sp.systems.tester_fixture()
     param = dict(param)
     param["N"] = N
-    backends, kw = FAMILIES[family]
+    backends, _ns, kw = FAMILIES[family]
     kw = dict(kw)
     be = {"scan": "banded"}.get(backend, backend)
     if backend == "scan":
@@ -200,8 +204,8 @@ def main():
             with open(args.out, "w") as f:
                 json.dump(dict(iters=ITERS, rows=rows), f, indent=1)
 
-    for family, (backends, _kw) in FAMILIES.items():
-        for N in NS:
+    for family, (backends, ns_list, _kw) in FAMILIES.items():
+        for N in ns_list:
             for be in backends:
                 if (family, be, N) in done:
                     continue

@@ -92,6 +92,24 @@ check("HMPC-SADMM-split", sp.make_solver(
     sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
     options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)), x0, xr, ur)
+# ellipHMPC with BINDING coupled-output bounds (r04, VERDICT r3 next-#5:
+# the only triple absent from SWEEP_r03; sinusoidal references exceed the
+# output bounds so the harmonic cones are active and the hot loop runs)
+sysE = dict(sys_)
+nE, mE = len(st["x"]), len(st["ur"])
+sysE["E"] = np.eye(3, nE)
+sysE["F"] = np.zeros((3, mE))
+sysE["LBy"] = -0.1 * np.ones(3)
+sysE["UBy"] = 0.1 * np.ones(3)
+ampE = rng.uniform(0.5, 1.0, (B, 1)) * 0.25
+xrsE = np.zeros((B, nE)); xrsE[:, :3] = ampE
+xrcE = np.zeros((B, nE)); xrcE[:, :3] = 0.5 * ampE
+ursE = 0.1 * np.ones((B, mE))
+check("ellipHMPC-ADMM", sp.make_solver(
+    sysE, pH, formulation="ellipHMPC", method="ADMM",
+    options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
+                 tol_p=1e-4, tol_d=1e-4, k_max=5000)),
+    x0, xr, xrsE, xrcE, ur, ursE, np.zeros((B, mE)))
 
 # structured O(N) backends
 check("MPCT-ADMM-cs-banded", sp.make_solver(
@@ -146,11 +164,62 @@ check("ellipMPC-soc-fused", sp.make_solver(
                  tol_p=1e-4, tol_d=1e-4, k_max=5000, tile_b=256)),
     x0, xr, ur, np.tile([0.5], (B, 1)))
 
+# ------------------------------------------------------------------
+# exact-k hardware parity (VERDICT r3 next-#8): per-lane k of the fused
+# exact-k kernel vs the dense masked loop, recorded as k_match_frac so
+# the fused_admm.py docstring's 8191/8192 figure is a regression-checked
+# artifact. Box-ADMM families with exact_k support.
+# ------------------------------------------------------------------
+BK = 4096
+x0k = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (BK, 1))
+xrk = np.tile(st["xr"], (BK, 1))
+urk = np.tile(st["ur"], (BK, 1))
+
+
+def check_k_parity(name, make, *args):
+    rd = make("dense")(*args)
+    rf = make("fused")(*args)
+    kd = np.asarray(rd.k)
+    kf = np.asarray(rf.k)
+    frac = float(np.mean(kd == kf))
+    conv = float(np.mean(np.asarray(rf.e_flag) == 1))
+    results[name] = dict(converged_frac=round(conv, 4),
+                         k_mean=round(float(np.mean(kf)), 1),
+                         k_max=int(np.max(kf)),
+                         k_match_frac=round(frac, 5))
+    print(f"{name:28s} conv={conv:.3f}  k_match_frac={frac:.5f}")
+
+
+check_k_parity(
+    "laxMPC-ADMM-exact-k-parity",
+    lambda be: sp.make_solver(
+        sys_, param, formulation="laxMPC", method="ADMM", backend=be,
+        options=opts("laxMPC", "ADMM", rho=10.0, tol=1e-4, k_max=1000,
+                     relax_alpha=1.9, tile_b=256, check_every=16,
+                     exact_k=True)), x0k, xrk, urk)
+check_k_parity(
+    "equMPC-ADMM-exact-k-parity",
+    lambda be: sp.make_solver(
+        sys_, pE, formulation="equMPC", method="ADMM", backend=be,
+        options=opts("equMPC", "ADMM", rho=0.5, tol=1e-4, k_max=1000,
+                     tile_b=256, check_every=16, exact_k=True)),
+    x0k, xrk, urk)
+check_k_parity(
+    "MPCT-cs-exact-k-parity",
+    lambda be: sp.make_solver(
+        sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
+        backend=be,
+        options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=1e-4, k_max=1000,
+                     tile_b=256, check_every=16, exact_k=True)),
+    x0k, xrk, urk)
+
 ok = all(r["converged_frac"] == 1.0 for r in results.values())
+kp_ok = all(r.get("k_match_frac", 1.0) >= 0.999 for r in results.values())
 print("ALL CONVERGED" if ok else "FAILURES")
+print("K-PARITY OK" if kp_ok else "K-PARITY DEGRADED")
 if cli.out:
     record = dict(platform=jax.devices()[0].platform, batch=B,
-                  all_converged=ok, families=results)
+                  all_converged=ok, k_parity_ok=kp_ok, families=results)
     with open(cli.out, "w") as f:
         json.dump(record, f, indent=1)
     print(f"wrote {cli.out}")
