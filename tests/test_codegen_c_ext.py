@@ -769,3 +769,59 @@ def test_c_mpct_semiband_vector_rho_matches_jax(base, outdir):
         assert k_c == int(r.k[0])
         _compare(sol_c, r, ("z", "v", "lam"))
         assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-10
+
+
+@pytest.mark.parametrize("method", ["ADMM", "FISTA"])
+def test_c_time_varying_engineering_units(base, outdir, method):
+    """TIME_VARYING + in_engineering C (the reference combines both:
+    code_laxMPC_ADMM_C.c:82-115 scales signals AND the per-call bounds,
+    :93-97) vs the JAX TV engineering path."""
+    from spcies_tpu.codegen import (CompiledCTvSolver,
+                                    CompiledCTvFistaSolver)
+    sys0, param, st = base
+    p = dict(param, T=np.diag(np.sum(np.asarray(param["T"]), axis=1)))
+    n, m = len(st["x"]), len(st["ur"])
+    Nx, Nu = np.full(n, 1.5), np.full(m, 0.8)
+    x_op, u_op = 0.01 * np.ones(n), 0.02 * np.ones(m)
+    sysd = dict(sys0, Nx=Nx, Nu=Nu, x0=x_op, u0=u_op)
+    kw = (dict(rho=15.0, tol=1e-7, k_max=5000) if method == "ADMM"
+          else dict(tol=1e-7, k_max=5000))
+    name = f"laxmpc_{method.lower()}_tv_eng"
+    opt = sp.default_options("laxMPC", method, **kw)
+    opt.in_engineering = True
+    generate_embedded_solver(sysd, p, formulation="laxMPC", method=method,
+                             time_varying=True, directory=outdir,
+                             save_name=name, options=opt)
+    src = open(f"{outdir}/{name}.c").read()
+    assert "NXV" in src and "LBs[" in src
+    opt_j = sp.default_options("laxMPC", method, **kw)
+    opt_j.in_engineering = True
+    opt_j.time_varying = True
+    s_jax = sp.make_solver(sysd, p, formulation="laxMPC", method=method,
+                           options=opt_j)
+    if method == "ADMM":
+        c = CompiledCTvSolver(name, n=n, m=m, nz=s_jax.nz,
+                              directory=outdir)
+    else:
+        c = CompiledCTvFistaSolver(name, n=n, m=m, N=s_jax.N,
+                                   nz=s_jax.nz, directory=outdir)
+    A = np.asarray(sys0["A"]) * 1.03
+    B = np.asarray(sys0["B"])
+    Qd = np.diag(np.asarray(param["Q"]))
+    Rd = np.diag(np.asarray(param["R"]))
+    # engineering-unit signals and bounds
+    x0e = np.asarray(st["x"]) / Nx + x_op
+    xre = np.asarray(st["xr"]) / Nx + x_op
+    ure = np.asarray(st["ur"]) / Nu + u_op
+    LBi = np.concatenate([sys0["LBx"], sys0["LBu"]])
+    UBi = np.concatenate([sys0["UBx"], sys0["UBu"]])
+    sc = np.concatenate([Nx, Nu])
+    opv = np.concatenate([x_op, u_op])
+    LBe, UBe = LBi / sc + opv, UBi / sc + opv
+    u_c, k_c, e_c, sol_c = c(x0e, xre, ure, A, B, Qd, Rd, LBe, UBe)
+    r = s_jax(x0e, xre, ure, A, B, Qd, Rd, LBe, UBe)
+    assert e_c == int(r.e_flag[0]) == 1
+    assert k_c == int(r.k[0])
+    keys = ("z", "v", "lam") if method == "ADMM" else ("z", "lam")
+    _compare(sol_c, r, keys)
+    assert np.max(np.abs(u_c - np.asarray(r.u[0]))) < 1e-9
