@@ -28,26 +28,30 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# family: (backends, per-family N list, fixed solver kwargs). The N lists
-# target the dense-vs-structured crossover question (VERDICT r3 next-#1)
-# within a bounded compile budget: the two starkest r03 loser families
-# (laxMPC, MPCT-cs) sweep the full horizon range; semiband / HMPC-split
-# are confirmed at a single long-horizon point; the TV family probes the
+# family: {backend: N list} + fixed solver kwargs. The N lists target the
+# dense-vs-structured crossover question (VERDICT r3 next-#1) within a
+# bounded remote-compile budget (~10 min/cell through the axon tunnel):
+# laxMPC sweeps the full horizon range; MPCT-cs confirms at two long
+# horizons; semiband / HMPC-split at one; the TV family probes the
 # per-lane-ingredient memory wall (tv_dense_w vs banded).
 FAMILIES = {
-    "laxMPC-ADMM": (("dense", "banded", "scan"), (30, 120, 240, 480, 960),
+    "laxMPC-ADMM": (dict(dense=(30, 120, 480, 960),
+                         banded=(30, 120, 480, 960),
+                         scan=(120, 480, 960)),
                     dict(rho=15.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-cs": (("dense", "banded", "scan"), (120, 240, 480),
+    "MPCT-ADMM-cs": (dict(dense=(240, 480), banded=(240, 480),
+                          scan=(240, 480)),
                      dict(rho=2.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-semiband": (("dense", "banded", "scan"), (480,),
+    "MPCT-ADMM-semiband": (dict(dense=(480,), banded=(480,), scan=(480,)),
                            dict(rho=0.5, tol_p=1e-4, tol_d=1e-4,
                                 k_max=1000)),
-    "HMPC-ADMM-split": (("dense", "banded", "scan"), (480,),
+    "HMPC-ADMM-split": (dict(dense=(480,), banded=(480,), scan=(480,)),
                         dict(rho=2.0, sigma=20.0, tol_p=1e-4, tol_d=1e-4,
                              k_max=1000)),
     # time-varying, per-lane model matrices: 'dense' = tv_dense_w
     # ([B, Nn, Nn] per-lane W), 'banded' = online band factors
-    "laxMPC-ADMM-tv": (("dense", "banded", "scan"), (120, 240, 480),
+    "laxMPC-ADMM-tv": (dict(dense=(120, 240), banded=(120, 240, 480),
+                            scan=(480,)),
                        dict(rho=15.0, tol=1e-4, k_max=1000)),
 }
 ITERS = 100
@@ -79,7 +83,7 @@ def run_single(family, backend, N):
     sys_, param, st = sp.systems.tester_fixture()
     param = dict(param)
     param["N"] = N
-    backends, _ns, kw = FAMILIES[family]
+    be_map, kw = FAMILIES[family]
     kw = dict(kw)
     be = {"scan": "banded"}.get(backend, backend)
     if backend == "scan":
@@ -152,11 +156,12 @@ def run_single(family, backend, N):
     else:
         args = (dev(x0), dev(xr), dev(ur))
 
-    mem = solver.aot_memory_analysis(*args, fixed_iters=ITERS) or {}
+    mem = (solver.aot_memory_analysis(*args, fixed_iters=ITERS)
+           if N >= 240 else None) or {}
     res = solver(*args, fixed_iters=ITERS)
     jax.block_until_ready(res.u)
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         res = solver(*args, fixed_iters=ITERS)
         jax.block_until_ready(res.u)
@@ -204,9 +209,9 @@ def main():
             with open(args.out, "w") as f:
                 json.dump(dict(iters=ITERS, rows=rows), f, indent=1)
 
-    for family, (backends, ns_list, _kw) in FAMILIES.items():
-        for N in ns_list:
-            for be in backends:
+    for family, (be_map, _kw) in FAMILIES.items():
+        for be, ns_list in be_map.items():
+            for N in ns_list:
                 if (family, be, N) in done:
                     continue
                 try:
