@@ -320,15 +320,13 @@ def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
             elif kind == "xu":
                 dim = solver.n + solver.m
             else:
-                inputs = None
-                break
+                break       # trailing unit-less inputs: use defaults
             inputs.append(np.zeros((probe_b, dim), solver.dtype))
-        if inputs is None or len(inputs) < solver.n_inputs:
+        missing = solver.n_inputs - len(inputs)
+        if missing:
             # trailing inputs without a unit kind (e.g. the soc runtime
             # radius) fall back to their registered defaults
-            base = len(inputs or [])
-            missing = solver.n_inputs - base
-            if inputs is None or missing > len(solver.default_inputs):
+            if missing > len(solver.default_inputs):
                 times[be] = float("inf")
                 continue
             inputs = inputs + [

@@ -157,7 +157,7 @@ def run_single(family, backend, N):
         args = (dev(x0), dev(xr), dev(ur))
 
     mem = (solver.aot_memory_analysis(*args, fixed_iters=ITERS)
-           if N >= 240 else None) or {}
+           if (N >= 240 or tv) else None) or {}
     res = solver(*args, fixed_iters=ITERS)
     jax.block_until_ready(res.u)
     times = []
