@@ -282,8 +282,14 @@ def main():
     urs = 0.1 * np.ones((FB, m_u))
     ARGS7 = (X0f, XRf, dev(xrs), dev(xrc), URf, dev(urs),
              dev(np.zeros((FB, m_u))))
+    # Te = N*Q for this row: at the family's 10*N*Q the binding-cone
+    # scenario's q magnitudes sit at the TPU fp32 residual floor
+    # (tools/tpu_convergence_sweep.py note)
+    pH2 = dict(pH)
+    pH2["Te"] = pH2["N"] * np.asarray(pH["Q"])
+    pH2["Th"] = pH2["Te"]
     family("ellipHMPC-ADMM", lambda be: sp.make_solver(
-        sysE, pH, formulation="ellipHMPC", method="ADMM", backend=be,
+        sysE, pH2, formulation="ellipHMPC", method="ADMM", backend=be,
         options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
                      tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
                      check_every=8)), ("dense", "fused"), args=ARGS7)

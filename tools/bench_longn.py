@@ -36,22 +36,20 @@ sys.path.insert(0, ROOT)
 # per-lane-ingredient memory wall (tv_dense_w vs banded).
 FAMILIES = {
     "laxMPC-ADMM": (dict(dense=(30, 120, 480, 960),
-                         banded=(30, 120, 480, 960),
-                         scan=(120, 480, 960)),
+                         banded=(30, 480),
+                         scan=(480, 960)),
                     dict(rho=15.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-cs": (dict(dense=(240, 480), banded=(240, 480),
-                          scan=(240, 480)),
+    "MPCT-ADMM-cs": (dict(dense=(480,), banded=(480,), scan=(480,)),
                      dict(rho=2.0, tol=1e-4, k_max=1000)),
-    "MPCT-ADMM-semiband": (dict(dense=(480,), banded=(480,), scan=(480,)),
+    "MPCT-ADMM-semiband": (dict(dense=(480,), scan=(480,)),
                            dict(rho=0.5, tol_p=1e-4, tol_d=1e-4,
                                 k_max=1000)),
-    "HMPC-ADMM-split": (dict(dense=(480,), banded=(480,), scan=(480,)),
+    "HMPC-ADMM-split": (dict(dense=(480,), scan=(480,)),
                         dict(rho=2.0, sigma=20.0, tol_p=1e-4, tol_d=1e-4,
                              k_max=1000)),
     # time-varying, per-lane model matrices: 'dense' = tv_dense_w
     # ([B, Nn, Nn] per-lane W), 'banded' = online band factors
-    "laxMPC-ADMM-tv": (dict(dense=(120, 240), banded=(120, 240, 480),
-                            scan=(480,)),
+    "laxMPC-ADMM-tv": (dict(dense=(120, 240), banded=(120, 240)),
                        dict(rho=15.0, tol=1e-4, k_max=1000)),
 }
 ITERS = 100

