@@ -227,9 +227,12 @@ def main():
                 line = [ln for ln in p.stdout.splitlines()
                         if ln.startswith("RESULT ")]
                 if p.returncode != 0 or not line:
-                    err = (p.stderr or p.stdout)[-600:]
-                    oom = ("RESOURCE_EXHAUSTED" in err or "memory" in err
-                           or "Out of memory" in err)
+                    full = (p.stderr or "") + (p.stdout or "")
+                    err = full[-600:]
+                    oom = any(mark in full for mark in (
+                        "RESOURCE_EXHAUSTED", "Out of memory",
+                        "ran out of memory", "Allocation type: HLO temp",
+                        "exceeds the limit", "hbm"))
                     rows.append(dict(family=family, backend=be, N=N,
                                      batch=batch_for(N),
                                      infeasible=bool(oom), error=err[-400:]))

@@ -137,8 +137,11 @@ def main():
 
     grid = {}
     base_name = "256x16xbf16"   # the production bench config
-    cases = [(128, 16, True), (256, 8, True), (256, 16, True),
-             (256, 32, True), (512, 8, True), (256, 16, False)]
+    # two axes around the production config: the check-window (bookkeeping
+    # amortization) and the matmul precision (MXU-bound test); the tile_b
+    # axis is covered by the bench's free-run lane (512x8)
+    cases = [(256, 8, True), (256, 16, True),
+             (256, 32, True), (256, 16, False)]
     for tile_b, ce, bf16 in cases:
         key = f"{tile_b}x{ce}x{'bf16' if bf16 else 'f32'}"
         try:
