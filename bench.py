@@ -103,8 +103,11 @@ def main():
     # Dense XLA fallback if the kernel fails to compile on this chip.
     # ------------------------------------------------------------------
     def build_lax(backend, **extra):
+        # bf16_delta stays ON for the dense engine (HBM-streaming matmul:
+        # halving M_q bytes wins) and OFF for the fused kernel (PROFILE_r04:
+        # VMEM-resident and latency-bound, bf16 conversion costs ~5%)
         o = opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
-                 bf16_delta=True, relax_alpha=1.9, **extra)
+                 bf16_delta=(backend == "dense"), relax_alpha=1.9, **extra)
         return sp.make_solver(sys_, param30, formulation="laxMPC",
                               method="ADMM", options=o, backend=backend)
 
