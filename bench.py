@@ -308,9 +308,11 @@ def main():
     # ------------------------------------------------------------------
     from spcies_tpu.runtime import closed_loop_rollout
     CLB, CL_STEPS = 4096, 50
+    # k_max=2000: states visited mid-rollout are harder than the one-shot
+    # scenario (r04 validation: 1.2% of lanes capped at 1000)
     s_cl = sp.make_solver(
         sys_, param30, formulation="laxMPC", method="ADMM",
-        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
+        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=2000,
                      relax_alpha=1.9))
     x0cl = dev(x0b[:CLB])
     xrcl, urcl = dev(xrb[:CLB]), dev(urb[:CLB])
@@ -339,7 +341,11 @@ def main():
                 k_mean_after_step0=round(float(np.mean(ks[1:])), 1),
                 converged_frac=round(float(np.mean(
                     np.asarray(out_r["e_flags"]) == 1)), 4),
-                batch=CLB, n_steps=CL_STEPS, backend="dense-rollout")
+                batch=CLB, n_steps=CL_STEPS, backend="dense-rollout",
+                note=("converged_frac counts every (lane, step) solve; "
+                      "~0.5% of mid-transient states floor just above "
+                      "tol=1e-4 in fp32 (measured across rho/alpha "
+                      "settings) and report e_flag=-1 at k_max"))
         except Exception as e:
             fam[f"closed-loop-{mode}"] = dict(error=str(e)[:160])
 
