@@ -45,8 +45,8 @@ def make_solver(engine: str, N: int = 30):
         # the bench.py headline configuration (fused exact-k)
         opts = sp.default_options(
             "laxMPC", "ADMM", rho=10.0, tol=1e-4, k_max=1000,
-            relax_alpha=1.9, tile_b=256,
-            check_every=16, exact_k=True)   # f32 M_q (PROFILE_r04)
+            relax_alpha=1.9, tile_b=128,
+            check_every=16, exact_k=True)   # f32, 128x16: PROFILE_r04 optimum
     else:
         opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
                                   k_max=1000)

@@ -136,12 +136,13 @@ def main():
     nzp = ((nz + 127) // 128) * 128
 
     grid = {}
-    base_name = "256x16xbf16"   # the production bench config
+    base_name = "256x16xbf16"   # the r03 production config
     # two axes around the production config: the check-window (bookkeeping
     # amortization) and the matmul precision (MXU-bound test); the tile_b
     # axis is covered by the bench's free-run lane (512x8)
-    cases = [(256, 8, True), (256, 16, True),
-             (256, 32, True), (256, 16, False)]
+    cases = [(256, 8, True), (256, 16, True), (256, 32, True),
+             (256, 8, False), (256, 16, False), (128, 8, False),
+             (128, 16, False), (64, 8, False)]
     for tile_b, ce, bf16 in cases:
         key = f"{tile_b}x{ce}x{'bf16' if bf16 else 'f32'}"
         try:
