@@ -108,9 +108,11 @@ def _equmpc_q_ref(ing, xr, ur, dtype):
 @register_builder("equMPC", "ADMM")
 def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                       backend: str = "dense") -> BatchedSolver:
+    from spcies_tpu.formulations.laxmpc import _tag_stagewise
     if opt.time_varying:
         from spcies_tpu.formulations.laxmpc import _tv_admm_solver
-        return _tv_admm_solver(sys, param, opt, terminal=False)
+        return _tag_stagewise(
+            _tv_admm_solver(sys, param, opt, terminal=False), False)
     ing = equmpc_admm_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -161,8 +163,9 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
             make_aux_b=lambda x0, xr, ur: ((-(x0 @ A.T)) @ M_b0.T
                                            + xr @ M_bN.T),
             u_start=0)
-        return BatchedSolver(_solve_f, ing, opt, n=n, m=m, N=N, nz=nz,
-                             dtype=dtype)
+        return _tag_stagewise(
+            BatchedSolver(_solve_f, ing, opt, n=n, m=m, N=N, nz=nz,
+                          dtype=dtype), False)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -185,7 +188,9 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
                                     **hist_sol_entries(hist)))
 
-    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+    return _tag_stagewise(
+        BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype),
+        False)
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +231,11 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
                        backend: str = "dense") -> BatchedSolver:
     """equMPC via dual FISTA (code_equMPC_FISTA_C.c,
     spcies_equMPC_FISTA_solver.m)."""
+    from spcies_tpu.formulations.laxmpc import _tag_stagewise
     if opt.time_varying:
         from spcies_tpu.formulations.laxmpc import _tv_fista_solver
-        return _tv_fista_solver(sys, param, opt, terminal=False)
+        return _tag_stagewise(
+            _tv_fista_solver(sys, param, opt, terminal=False), False)
     from spcies_tpu.solvers.fista import fista_solve
     ing = equmpc_fista_ingredients(sys, param, opt)
     if backend == "fused":
@@ -241,7 +248,8 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
             b = b.at[:, :n_].set(-(x0 @ A_.T))
             return b.at[:, -n_:].set(xr)
 
-        return _build_fista_fused(ing, opt, _equmpc_q_ref, _b_equ)
+        return _tag_stagewise(
+            _build_fista_fused(ing, opt, _equmpc_q_ref, _b_equ), False)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
     tol = float(opt.solver["tol"])
@@ -269,4 +277,6 @@ def build_equmpc_fista(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, lam=y, res=res,
                                     **hist_sol_entries(hist)))
 
-    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+    return _tag_stagewise(
+        BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype),
+        False)

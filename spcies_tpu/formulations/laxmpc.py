@@ -118,11 +118,20 @@ def _q_ref(ing, xr, ur, dtype):
     return jnp.concatenate([qu, mid_tiled, qT], axis=-1)
 
 
+def _tag_stagewise(solver, terminal: bool):
+    """Mark the solver's decision layout as the laxMPC/equMPC stagewise
+    one (u_0 | x_1 u_1 | ... [| x_N]) so runtime.rollout can apply the
+    receding-horizon warm-start shift (warm_start='shift')."""
+    solver.stage_layout = ("stagewise", terminal)
+    return solver
+
+
 @register_builder("laxMPC", "ADMM")
 def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                       backend: str = "dense") -> BatchedSolver:
     if opt.time_varying:
-        return _tv_admm_solver(sys, param, opt, terminal=True)
+        return _tag_stagewise(
+            _tv_admm_solver(sys, param, opt, terminal=True), True)
     ing = laxmpc_admm_ingredients(sys, param, opt)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
@@ -174,7 +183,8 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                 return eq_qp(q_hat, rhs_extra)
             return z_step
     elif backend == "fused":
-        return _build_laxmpc_admm_fused(ing, opt, dtype)
+        return _tag_stagewise(_build_laxmpc_admm_fused(ing, opt, dtype),
+                              True)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -197,7 +207,9 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
                                     **hist_sol_entries(hist)))
 
-    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+    return _tag_stagewise(
+        BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype),
+        True)
 
 
 # ---------------------------------------------------------------------------
@@ -384,11 +396,13 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
     """laxMPC via dual FISTA (code_laxMPC_FISTA_C.c,
     spcies_laxMPC_FISTA_solver.m)."""
     if opt.time_varying:
-        return _tv_fista_solver(sys, param, opt, terminal=True)
+        return _tag_stagewise(
+            _tv_fista_solver(sys, param, opt, terminal=True), True)
     from spcies_tpu.solvers.fista import fista_solve
     ing = laxmpc_fista_ingredients(sys, param, opt)
     if backend == "fused":
-        return _build_fista_fused(ing, opt, _q_ref, _fista_b_lax)
+        return _tag_stagewise(
+            _build_fista_fused(ing, opt, _q_ref, _fista_b_lax), True)
     dtype = jnp.float64 if opt.precision == "double" else jnp.float32
     n, m, N, nz = ing["n"], ing["m"], ing["N"], ing["nz"]
     tol = float(opt.solver["tol"])
@@ -415,7 +429,9 @@ def build_laxmpc_fista(sys: dict, param: dict, opt: Options,
                            sol=dict(z=z, lam=y, res=res,
                                     **hist_sol_entries(hist)))
 
-    return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype)
+    return _tag_stagewise(
+        BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz, dtype=dtype),
+        True)
 
 
 # ---------------------------------------------------------------------------

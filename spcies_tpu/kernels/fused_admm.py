@@ -76,7 +76,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                        rp_ref, rd_ref, red_scratch,
                        *, rho, rho_i, tol_p, tol_d, k_max, bf16,
                        alpha=1.0, check_every=1, fixed_iters=0,
-                       exact_k=False):
+                       exact_k=False, interleave=1):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -144,31 +144,70 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
         return (it + 1, done_out, k_out, z_out, zn_out, v_out, lam_out,
                 rp_out, rd_out)
 
-    def fast_body(_i, carry):
-        z_next_c, v_c, lam_c = carry
-        zc = z_next_c
-        v_prev = v_c
+    def _vpu_phase(zc, v_prev, lam_c):
         zr = zc if alpha == 1.0 else alpha * zc + (1.0 - alpha) * v_prev
         y = zr + rho_i * lam_c
         v_new = jnp.minimum(jnp.maximum(y, lb), ub)
         lam_new = lam_c + rho * (zr - v_new)
         dq = rho * (zr - 2.0 * v_new + v_prev)
+        return v_new, lam_new, dq
+
+    def _mxu_phase(zc, dq):
         if bf16:
-            zn = zc + jax.lax.dot(dq.astype(jnp.bfloat16),
-                                  mq.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.DEFAULT)
-        else:
-            zn = zc + jax.lax.dot(dq, mq,
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.DEFAULT)
+            return zc + jax.lax.dot(dq.astype(jnp.bfloat16),
+                                    mq.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+        return zc + jax.lax.dot(dq, mq,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+
+    def fast_body(_i, carry):
+        z_next_c, v_c, lam_c = carry
+        v_new, lam_new, dq = _vpu_phase(z_next_c, v_c, lam_c)
+        zn = _mxu_phase(z_next_c, dq)
         return (zn, v_new, lam_new)
+
+    def run_fast(z_next, v, lam, n_iters):
+        """n_iters plain (uncheck ed) iterations. interleave > 1 attacks the
+        serial iteration-latency chain (PROFILE_r04 "Binding resource"):
+        the tile is split into `interleave` independent sub-chains carried
+        as SEPARATE arrays across the window loop, and each loop body
+        issues every chain's VPU phase before any chain's MXU matmul — the
+        chains share no data, so the scheduler can overlap chain c+1's
+        projection/dual bookkeeping (VPU) with chain c's z-update matmul
+        (MXU) instead of serializing them. Split/join happens once per
+        window (amortized over check_every iterations), not per iteration.
+        Per-lane arithmetic is identical to interleave=1 (row-wise ops and
+        per-row dot products don't change with sub-tiling), so results are
+        bit-exact vs the single-chain path."""
+        if interleave == 1:
+            return jax.lax.fori_loop(0, n_iters, fast_body,
+                                     (z_next, v, lam))
+        h = tile_b // interleave
+        cs = [slice(c * h, (c + 1) * h) for c in range(interleave)]
+        nI = interleave
+        carry = (tuple(z_next[s] for s in cs) + tuple(v[s] for s in cs)
+                 + tuple(lam[s] for s in cs))
+
+        def fb(_i, carry):
+            zs = carry[:nI]
+            vs = carry[nI:2 * nI]
+            lams = carry[2 * nI:]
+            vpu = [_vpu_phase(zs[c], vs[c], lams[c]) for c in range(nI)]
+            zn = [_mxu_phase(zs[c], vpu[c][2]) for c in range(nI)]
+            return (tuple(zn) + tuple(p[0] for p in vpu)
+                    + tuple(p[1] for p in vpu))
+
+        out = jax.lax.fori_loop(0, n_iters, fb, carry)
+        return (jnp.concatenate(out[:nI], axis=0),
+                jnp.concatenate(out[nI:2 * nI], axis=0),
+                jnp.concatenate(out[2 * nI:], axis=0))
 
     if fixed_iters:
         # benchmark mode: exactly fixed_iters plain iterations, no exit
         # tests (run_masked_loop fixed_iters semantics)
-        z_next, v, lam = jax.lax.fori_loop(
-            0, fixed_iters, fast_body, (z_next, v, lam))
+        z_next, v, lam = run_fast(z_next, v, lam, fixed_iters)
         z_ref[:] = z_next
         v_ref[:] = v
         lam_ref[:] = lam
@@ -200,8 +239,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
             snl = a * lam + na * snl
             kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
             n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
-            z_next, v, lam = jax.lax.fori_loop(
-                0, n_fast, fast_body, (z_next, v, lam))
+            z_next, v, lam = run_fast(z_next, v, lam, n_fast)
             # checked iteration (bookkeeping only)
             zc = z_next
             v_prev = v
@@ -304,8 +342,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
             # clamp the block so the total iteration count never exceeds
             # k_max (k_max need not be divisible by check_every)
             n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
-            z_next, v, lam = jax.lax.fori_loop(
-                0, n_fast, fast_body, (z_next, v, lam))
+            z_next, v, lam = run_fast(z_next, v, lam, n_fast)
             # checked iteration
             zc = z_next
             v_prev = v
@@ -360,21 +397,29 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
                      tile_b: int = 256, bf16: bool = False,
                      relax_alpha: float = 1.0, check_every: int = 1,
                      fixed_iters: int = 0, exact_k: bool = False,
-                     interpret: bool = False):
+                     interleave: int = 1, interpret: bool = False):
     """Run the fused ADMM loop. All arrays must already be lane-padded to a
     multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
     batch-padded to a multiple of tile_b.
+
+    interleave: number of independent sub-chains the fast-run path splits
+    each tile into (1, 2 or 4); see run_fast in the kernel. Must divide
+    tile_b with sub-chains of >= 8 rows (f32 sublane tile).
 
     Returns (z, v, lam, k [B], e_flag [B]).
     """
     B, nzp = z1.shape
     assert nzp % 128 == 0 and B % tile_b == 0
+    interleave = int(interleave)
+    assert (interleave >= 1 and tile_b % interleave == 0
+            and (tile_b // interleave) % 8 == 0)
     grid = (B // tile_b,)
     kernel = functools.partial(
         _fused_admm_kernel, rho=float(rho), rho_i=float(1.0 / rho),
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16,
         alpha=float(relax_alpha), check_every=int(check_every),
-        fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k))
+        fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k),
+        interleave=interleave)
 
     tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -45,6 +45,10 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
     # convergence window with per-iteration checks — bit-exact dense
     # k/e_flag/exit iterates at free-run throughput (kernels/fused_admm.py)
     exact_k = bool(opt.solver.get("exact_k", False))
+    # interleave: split each tile into independent sub-chains inside the
+    # free-run windows so one chain's VPU bookkeeping overlaps another's
+    # MXU matmul (the serial-latency-chain attack, PROFILE_r04)
+    interleave = int(opt.solver.get("interleave", 1))
 
     nzp = _round_up(nz, 128)
     M_q_pad = np.zeros((nzp, nzp), dtype=np.float32)
@@ -83,6 +87,7 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
                 rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
                 tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
                 check_every=check_every, exact_k=exact_k,
+                interleave=interleave,
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
         return SolveResult(
             u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],

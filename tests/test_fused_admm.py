@@ -13,10 +13,10 @@ def fixture():
     return sp.systems.tester_fixture()
 
 
-def _solvers(sys, param, tol=1e-4, k_max=1000, **fused_kw):
+def _solvers(sys, param, tol=1e-4, k_max=1000, tile_b=8, **fused_kw):
     opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=tol,
-                              k_max=k_max, pallas_interpret=True, tile_b=8,
-                              **fused_kw)
+                              k_max=k_max, pallas_interpret=True,
+                              tile_b=tile_b, **fused_kw)
     opts.precision = "float"
     s_f = sp.make_solver(sys, param, formulation="laxMPC", method="ADMM",
                          backend="fused", options=opts)
@@ -195,6 +195,49 @@ def test_fused_generalizes_to_other_box_admm(fixture, formulation):
     np.testing.assert_array_equal(np.asarray(rf.e_flag),
                                   np.asarray(rd.e_flag))
     assert np.max(np.abs(np.asarray(rf.u) - np.asarray(rd.u))) < 1e-6
+
+
+def test_fused_interleave_bit_exact(fixture):
+    """interleave=2/4 (independent sub-chains inside the free-run windows,
+    the PROFILE_r04 latency-chain attack) must not change ANY result: the
+    per-lane recursion is untouched, only the tile's sub-structure changes.
+    Bit-exact vs the dense masked loop in exact-k mode, and vs interleave=1
+    in plain free-run mode."""
+    sys, param, st = fixture
+    rng = np.random.default_rng(7)
+    B = 16
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    for il in (2, 4):
+        opts = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                                  k_max=1000, pallas_interpret=True,
+                                  tile_b=16 * il // 2, check_every=8,
+                                  exact_k=True, interleave=il)
+        opts.precision = "float"
+        s_il = sp.make_solver(sys, param, formulation="laxMPC",
+                              method="ADMM", backend="fused", options=opts)
+        opts_d = sp.default_options("laxMPC", "ADMM", rho=15.0, tol=1e-4,
+                                    k_max=1000)
+        opts_d.precision = "float"
+        s_d = sp.make_solver(sys, param, formulation="laxMPC",
+                             method="ADMM", options=opts_d)
+        ri = s_il(x0, xr, ur)
+        rd = s_d(x0, xr, ur)
+        np.testing.assert_array_equal(np.asarray(ri.k), np.asarray(rd.k))
+        np.testing.assert_array_equal(np.asarray(ri.e_flag),
+                                      np.asarray(rd.e_flag))
+        for key in ("z", "v", "lam"):
+            np.testing.assert_array_equal(np.asarray(ri.sol[key]),
+                                          np.asarray(rd.sol[key]))
+    # free-run (non-exact-k) path: interleave=2 bit-equal to interleave=1
+    s1, _ = _solvers(sys, param, check_every=8, tile_b=16)
+    s2, _ = _solvers(sys, param, check_every=8, tile_b=16, interleave=2)
+    r1, r2 = s1(x0, xr, ur), s2(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                      np.asarray(r2.sol[key]))
 
 
 def test_fused_check_every_respects_k_max(fixture):

@@ -78,6 +78,75 @@ def test_warm_start_saves_iterations(fixture):
                                rtol=0, atol=1e-4)
 
 
+def test_shift_warm_start_beats_carry(fixture):
+    """warm_start='shift' (receding-horizon shift: advance all iterates by
+    one stage, duplicate the tail — the apparatus the reference computed
+    but never used, compute_MPCT_EADMM_ingredients.m:157-193) must beat
+    BOTH cold start and the unshifted carry on total iterations, because
+    the shifted triple aligns every stage's primal and active-set
+    multiplier with where the horizon actually moved."""
+    sys, param, st = fixture
+    # the serving regime (bench closed-loop settings): reference default
+    # tol=1e-4, N=30, tuned rho/alpha. At tiny-tail tolerances (1e-7+)
+    # the intrinsic contraction dominates and no warm start helps much;
+    # at the production tolerance the shift is decisive (~75% fewer
+    # iterations measured).
+    p30 = dict(param)
+    p30["N"] = 30
+    solver = sp.make_solver(sys, p30, formulation="laxMPC", method="ADMM",
+                            rho=10.0, tol=1e-4, k_max=2000,
+                            relax_alpha=1.9)
+    A, B = np.asarray(sys["A"]), np.asarray(sys["B"])
+    kw = dict(n_steps=8)
+    x0 = 2.0 * np.asarray(st["x"])      # a real transient
+    cold = closed_loop_rollout(solver, A, B, x0, st["xr"], st["ur"],
+                               warm_start=False, **kw)
+    shift = closed_loop_rollout(solver, A, B, x0, st["xr"], st["ur"],
+                                warm_start="shift", **kw)
+    k_cold = int(np.sum(np.asarray(cold["ks"])[1:]))
+    k_shift = int(np.sum(np.asarray(shift["ks"])[1:]))
+    # the VERDICT r4 next-#2 bar: >= 30% fewer iterations after step 0
+    assert k_shift < 0.7 * k_cold, (k_shift, k_cold)
+    assert np.all(np.asarray(shift["e_flags"]) == 1)
+    # warm start changes the iterate path, not the solution
+    np.testing.assert_allclose(np.asarray(shift["xs"]),
+                               np.asarray(cold["xs"]), rtol=0, atol=1e-3)
+
+
+def test_shift_warm_start_equmpc(fixture):
+    """The shift handles the no-terminal-block layout (equMPC) too."""
+    sys, param, st = fixture
+    p = dict(param)
+    p.pop("T", None)
+    p["N"] = 30
+    solver = sp.make_solver(sys, p, formulation="equMPC", method="ADMM",
+                            rho=2.0, tol=1e-4, k_max=5000)
+    A, B = np.asarray(sys["A"]), np.asarray(sys["B"])
+    x0 = 2.0 * np.asarray(st["x"])
+    cold = closed_loop_rollout(solver, A, B, x0, st["xr"], st["ur"],
+                               warm_start=False, n_steps=8)
+    shift = closed_loop_rollout(solver, A, B, x0, st["xr"], st["ur"],
+                                warm_start="shift", n_steps=8)
+    assert (int(np.sum(np.asarray(shift["ks"])[1:]))
+            < 0.7 * int(np.sum(np.asarray(cold["ks"])[1:])))
+    assert np.all(np.asarray(shift["e_flags"]) == 1)
+
+
+def test_shift_warm_start_unsupported_layout_raises(fixture):
+    """Solvers without a stagewise layout (MPCT) reject 'shift' with a
+    typed error instead of silently mis-shifting."""
+    sys, param, st = fixture
+    p = dict(param)
+    p["T"] = 10.0 * np.asarray(p["Q"])
+    p["S"] = np.asarray(p["R"]).copy()
+    solver = sp.make_solver(sys, p, formulation="MPCT", method="EADMM",
+                            tol=1e-5, k_max=2000)
+    A, B = np.asarray(sys["A"]), np.asarray(sys["B"])
+    with pytest.raises(ValueError, match="stagewise"):
+        closed_loop_rollout(solver, A, B, st["x"], st["xr"], st["ur"],
+                            n_steps=3, warm_start="shift")
+
+
 def test_rollout_fista_dual_warm_start(fixture):
     sys, param, st = fixture
     solver = sp.make_solver(sys, param, formulation="laxMPC", method="FISTA",
