@@ -276,6 +276,44 @@ def make_solver(sys: dict, param: dict, *, formulation: str = "",
     return solver
 
 
+def _auto_cache_path():
+    import os
+    root = os.environ.get(
+        "SPCIES_AUTO_CACHE_DIR",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_spcies")))
+    return os.path.join(root, "spcies_auto_backend.json")
+
+
+def _auto_cache_load():
+    import json
+    import os
+    path = _auto_cache_path()
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _auto_cache_store(key, backend):
+    import json
+    import os
+    path = _auto_cache_path()
+    cache = _auto_cache_load()
+    cache[key] = backend
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=0, sort_keys=True)
+        os.replace(tmp, path)
+    except Exception:
+        pass     # cache is an optimization; never fail the build on it
+
+
 def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
     """backend='auto': build every available backend for the triple and
     pick the fastest by a short on-device probe (fixed-iteration batched
@@ -287,11 +325,43 @@ def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
     Probe knobs (solver options): auto_probe_batch (default 2048),
     auto_probe_iters (50), auto_probe_reps (3). The winning backend name
     lands in solver.backend_choice; per-candidate probe times in
-    solver.backend_probe_s."""
+    solver.backend_probe_s.
+
+    The decision is PERSISTED on disk next to the XLA compile cache
+    (VERDICT r4 next-#7), keyed by (triple, problem dims, chip kind,
+    probe config): a second make_solver(..., backend='auto') for the same
+    shape — even in a fresh process — builds only the winning backend and
+    skips the probe entirely (solver.backend_probe_cached = True). Set
+    auto_probe_batch to the production batch size to make the probe match
+    the serving shape; pass auto_probe_refresh=True to force re-probing
+    (the result overwrites the cached entry). Cache file:
+    $SPCIES_AUTO_CACHE_DIR or $JAX_COMPILATION_CACHE_DIR or
+    ~/.cache/jax_spcies, spcies_auto_backend.json."""
     import time
     probe_b = int(opt.solver.get("auto_probe_batch", 2048))
     probe_iters = int(opt.solver.get("auto_probe_iters", 50))
     probe_reps = int(opt.solver.get("auto_probe_reps", 3))
+
+    n_ = np.asarray(sys["A"]).shape[0]
+    m_ = np.asarray(sys["B"]).shape[1]
+    dev = jax.devices()[0]
+    key = "|".join(map(str, (
+        opt.formulation, opt.method, opt.submethod, n_, m_,
+        int(param.get("N", 0)), opt.precision, int(opt.time_varying),
+        dev.platform, getattr(dev, "device_kind", "?"),
+        probe_b, probe_iters, probe_reps)))
+    if not opt.solver.get("auto_probe_refresh", False):
+        cached = _auto_cache_load().get(key)
+        if cached is not None:
+            try:
+                solver = builder(sys, param, opt, backend=cached)
+            except Exception:
+                solver = None
+            if solver is not None:
+                solver.backend_choice = cached
+                solver.backend_probe_s = {}
+                solver.backend_probe_cached = True
+                return solver
 
     candidates = {}
     for be in ("dense", "fused", "banded"):
@@ -307,6 +377,8 @@ def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
         (be, solver), = candidates.items()
         solver.backend_choice = be
         solver.backend_probe_s = {}
+        solver.backend_probe_cached = False
+        _auto_cache_store(key, be)
         return solver
 
     times: dict[str, float] = {}
@@ -351,4 +423,6 @@ def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
     solver = candidates[best]
     solver.backend_choice = best
     solver.backend_probe_s = times
+    solver.backend_probe_cached = False
+    _auto_cache_store(key, best)
     return solver

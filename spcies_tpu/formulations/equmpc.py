@@ -181,6 +181,7 @@ def build_equmpc_admm(sys: dict, param: dict, opt: Options,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
             freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
             z_lin=make_z_step(None, None),
             history=opt.debug)
         u = v[:, :m]

@@ -200,6 +200,7 @@ def build_laxmpc_admm(sys: dict, param: dict, opt: Options,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
             freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
             z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, :m]
@@ -608,6 +609,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
             freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
             z_lin=z_lin, history=opt.debug)
         return SolveResult(u=v[:, :m], k=k, e_flag=e_flag,
                            sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,

@@ -682,6 +682,7 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
             freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
             z_lin=make_z_step(None),
             history=opt.debug)
         u = v[:, 2 * n:2 * n + m]
@@ -723,6 +724,7 @@ def _build_mpct_cs_banded(sys: dict, param: dict,
             fixed_iters=fixed_iters,
             relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
             freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
             z_lin=lambda dq: z_step(dq, None),
             history=opt.debug)
         return SolveResult(u=v[:, 2 * n:2 * n + m], k=k, e_flag=e_flag,

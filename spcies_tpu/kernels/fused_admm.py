@@ -76,7 +76,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                        rp_ref, rd_ref, red_scratch,
                        *, rho, rho_i, tol_p, tol_d, k_max, bf16,
                        alpha=1.0, check_every=1, fixed_iters=0,
-                       exact_k=False, interleave=1):
+                       exact_k=False, interleave=1, unroll_window=True):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -238,8 +238,22 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
             snv = a * v + na * snv
             snl = a * lam + na * snl
             kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
-            n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
-            z_next, v, lam = run_fast(z_next, v, lam, n_fast)
+            # STATICALLY UNROLLED window (MICROBENCH_r05: the fori_loop's
+            # per-iteration overhead is ~40% of the iteration — unroll8
+            # runs 1.76x faster than the loop at identical math; interleave
+            # and operand-leaning add nothing on top). The k_max clamp the
+            # looped form needed is dropped: windows may overshoot k_max
+            # in free-run, but every lane's OUTPUT (iterates, k, e_flag)
+            # comes from the per-iteration replay below, whose budget
+            # min(check_every, k_max - kws) cuts each lane off at exactly
+            # k_max — results are bit-identical to the clamped form.
+            # unroll_window=False keeps the looped window (A/B control).
+            if unroll_window:
+                for _ in range(check_every - 1):
+                    z_next, v, lam = fast_body(0, (z_next, v, lam))
+            else:
+                n_fast = jnp.minimum(check_every - 1, k_max - 1 - it)
+                z_next, v, lam = run_fast(z_next, v, lam, n_fast)
             # checked iteration (bookkeeping only)
             zc = z_next
             v_prev = v
@@ -262,7 +276,7 @@ def _fused_admm_kernel(z1_ref, v0_ref, lam0_ref, mq_ref, lb_ref, ub_ref,
                 zn = zc + jax.lax.dot(dq, mq,
                                       preferred_element_type=jnp.float32)
             done_out = jnp.maximum(done, a * conv)
-            return (it + n_fast + 1, done_out, kws, zn, v_new, lam_new,
+            return (it + check_every, done_out, kws, zn, v_new, lam_new,
                     snz, snv, snl)
 
         def cond_e(carry):
@@ -397,7 +411,8 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
                      tile_b: int = 256, bf16: bool = False,
                      relax_alpha: float = 1.0, check_every: int = 1,
                      fixed_iters: int = 0, exact_k: bool = False,
-                     interleave: int = 1, interpret: bool = False):
+                     interleave: int = 1, unroll_window: bool = True,
+                     interpret: bool = False):
     """Run the fused ADMM loop. All arrays must already be lane-padded to a
     multiple of 128 (zeros in M_q pad rows/cols, [0, 0] pad bounds) and
     batch-padded to a multiple of tile_b.
@@ -419,7 +434,7 @@ def fused_admm_solve(z1, v0, lam0, M_q_pad, LB_pad, UB_pad, *,
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max, bf16=bf16,
         alpha=float(relax_alpha), check_every=int(check_every),
         fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k),
-        interleave=interleave)
+        interleave=interleave, unroll_window=bool(unroll_window))
 
     tile_spec = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -67,6 +67,10 @@ def admm_solve(
                                # no per-lane freeze masking and a leaner
                                # carry (z output is the prepared iterate);
                                # per-lane k still records first tol hit
+    straggler_polish: int = 0,  # extra compensated-f32x2 iterations for
+                               # lanes that exhaust k_max (see below);
+                               # 0 = off. k then counts TOTAL iterations
+                               # and may exceed k_max for polished lanes.
 ):
     """Run batched single-split ADMM; returns (z, v, lam, k, e_flag, r_p, r_d).
 
@@ -153,5 +157,89 @@ def admm_solve(
                                            freeze=freeze_converged)
         hist = None
     z_out = state["z"] if "z" in state else state["z_next"]
-    return (z_out, state["v"], state["lam"], k, e_flag,
-            state["r_p"], state["r_d"], hist)
+    z_res, v_res, lam_res = z_out, state["v"], state["lam"]
+    r_p_res, r_d_res = state["r_p"], state["r_d"]
+
+    if straggler_polish and z_lin is not None and fixed_iters is None:
+        # fp32 convergence-floor fix (VERDICT r4 next-#3): a small
+        # fraction of hard states reach an fp32 fixed point where
+        # accumulated quantization noise in the (z, lam) accumulators
+        # floors max|z - v| just above tol (measured: frozen at
+        # 1.0049e-4 for thousands of iterations while fp64 converges).
+        # Lanes that exhaust k_max get a compensated continuation: z and
+        # lam are carried as double-word f32 pairs (hi + lo), increments
+        # accumulate through Knuth TwoSum so sub-ulp contributions are
+        # retained, and the lo parts feed the projection argument and
+        # the primal residual. Runs only when some lane failed
+        # (lax.cond at batch granularity); converged lanes stay frozen.
+        # Validated on the stalled state: compensated f32 converges in
+        # ~1431 extra-precision iterations where plain f32 never exits
+        # (fp64 reference: 1448). TPU-native double-precision analogue
+        # of the reference C's double math exit contract
+        # (code_laxMPC_ADMM_C.c:570-631).
+        budget = int(straggler_polish)
+
+        def _two_sum(a, b):
+            s = a + b
+            bp = s - a
+            e = (a - (s - bp)) + (b - bp)
+            return s, e
+
+        def _polish(args):
+            z0p, v0p, lam0p, k0p, e0p, rp0, rd0 = args
+            done0 = e0p == 1
+            lo0 = jnp.zeros_like(z0p)
+            st0 = dict(z=z0p, z_lo=lo0, v=v0p, lam=lam0p, lam_lo=lo0,
+                       r_p=rp0, r_d=rd0)
+
+            def cond(carry):
+                it, done = carry[0], carry[1]
+                return jnp.logical_and(it < budget,
+                                       jnp.logical_not(jnp.all(done)))
+
+            def step(carry):
+                it, done, k, st = carry
+                z = st["z"]
+                z_lo = st["z_lo"]
+                v_prev = st["v"]
+                lam = st["lam"]
+                lam_lo = st["lam_lo"]
+                zr = (z if alpha == 1.0
+                      else alpha * z + (1.0 - alpha) * v_prev)
+                zr_lo = z_lo if alpha == 1.0 else alpha * z_lo
+                v = proj(zr + rho_i * lam + (zr_lo + rho_i * lam_lo))
+                dlt = rho * (zr - v)
+                lam_n, e1 = _two_sum(lam, dlt)
+                lam_lo_n = lam_lo + (e1 + rho * zr_lo)
+                # same residual convention as the main loop: primal
+                # residual on the consumed (un-relaxed) z, here with its
+                # low word restored
+                r_p = inf_norm(z + z_lo - v)
+                r_d = inf_norm(v - v_prev)
+                conv = jnp.logical_and(r_p <= tol_p, r_d <= tol_d)
+                dq = rho * (zr - v) - rho * (v - v_prev)
+                z_n, e2 = _two_sum(z, z_lin(dq + rho * zr_lo))
+                z_lo_n = z_lo + e2
+                new = dict(z=z_n, z_lo=z_lo_n, v=v, lam=lam_n,
+                           lam_lo=lam_lo_n, r_p=r_p, r_d=r_d)
+                active = jnp.logical_not(done)
+                st = jax.tree_util.tree_map(
+                    lambda nw, old: jnp.where(
+                        active.reshape((batch,) + (1,) * (nw.ndim - 1)),
+                        nw, old), new, st)
+                k = jnp.where(active, k + 1, k)
+                done = jnp.logical_or(done,
+                                      jnp.logical_and(active, conv))
+                return (it + 1, done, k, st)
+
+            _it, done, k, st = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), done0, k0p, st0))
+            e = jnp.where(done, jnp.int32(1), jnp.int32(-1))
+            return (st["z"] + st["z_lo"], st["v"],
+                    st["lam"] + st["lam_lo"], k, e, st["r_p"], st["r_d"])
+
+        args = (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res)
+        (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res) = jax.lax.cond(
+            jnp.any(e_flag != 1), _polish, lambda a: a, args)
+
+    return (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res, hist)

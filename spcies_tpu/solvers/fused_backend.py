@@ -49,6 +49,10 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
     # free-run windows so one chain's VPU bookkeeping overlaps another's
     # MXU matmul (the serial-latency-chain attack, PROFILE_r04)
     interleave = int(opt.solver.get("interleave", 1))
+    # unroll_window (default ON): statically unroll the exact-k free-run
+    # window — removes the inner loop's ~40%-of-iteration overhead
+    # (MICROBENCH_r05); False restores the r04 looped window for A/B
+    unroll_window = bool(opt.solver.get("unroll_window", True))
 
     nzp = _round_up(nz, 128)
     M_q_pad = np.zeros((nzp, nzp), dtype=np.float32)
@@ -87,7 +91,7 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
                 rho=rho_f, tol_p=tol, tol_d=tol, k_max=k_max,
                 tile_b=tile_b, bf16=bf16, relax_alpha=relax_alpha,
                 check_every=check_every, exact_k=exact_k,
-                interleave=interleave,
+                interleave=interleave, unroll_window=unroll_window,
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
         return SolveResult(
             u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],

@@ -20,3 +20,11 @@ import jax  # noqa: E402
 # config update below does force the 8-device virtual CPU platform.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Hermetic auto-backend probe cache: the on-disk cache (api._auto_backend,
+# VERDICT r4 next-#7) must not leak probe decisions between test sessions
+# or into the user's real cache.
+import tempfile  # noqa: E402
+
+os.environ["SPCIES_AUTO_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="spcies_auto_cache_test_")

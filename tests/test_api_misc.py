@@ -244,3 +244,53 @@ def test_auto_backend_single_candidate():
     assert s.backend_choice in ("dense", "banded")
     res = s(st["x"], st["xr"], st["ur"])
     assert int(res.e_flag[0]) == 1
+
+
+def test_auto_backend_probe_cache(tmp_path, monkeypatch):
+    """The auto-backend decision persists on disk keyed by (triple, dims,
+    chip kind, probe config) — a second make_solver for the same shape
+    skips the probe and builds ONLY the winning backend, even in a fresh
+    process (VERDICT r4 next-#7; the reference's offline-once codegen
+    economics, spcies_gen_controller.m:72-135)."""
+    import spcies_tpu as sp
+    from spcies_tpu.formulations import base as fbase
+    import numpy as np
+    monkeypatch.setenv("SPCIES_AUTO_CACHE_DIR", str(tmp_path))
+    sys_, param, st = sp.systems.tester_fixture()
+    kw = dict(formulation="laxMPC", method="ADMM", backend="auto",
+              rho=15.0, tol=1e-6, k_max=5000, auto_probe_batch=64,
+              auto_probe_iters=5, auto_probe_reps=1)
+
+    builds = []
+    real = fbase.get_builder("laxMPC", "ADMM")
+
+    def counting(sys, param, opt, backend="dense"):
+        builds.append(backend)
+        return real(sys, param, opt, backend=backend)
+
+    monkeypatch.setitem(fbase.BUILDERS, ("laxMPC", "ADMM", ""), counting)
+
+    s1 = sp.make_solver(sys_, param, **kw)
+    assert not s1.backend_probe_cached
+    n_first = len(builds)
+    assert n_first >= 2                       # probed several backends
+    assert (tmp_path / "spcies_auto_backend.json").exists()
+
+    s2 = sp.make_solver(sys_, param, **kw)    # same shape: cache hit
+    assert s2.backend_probe_cached
+    assert s2.backend_probe_s == {}
+    assert s2.backend_choice == s1.backend_choice
+    assert len(builds) == n_first + 1         # built ONLY the winner
+
+    # refresh forces a re-probe
+    s3 = sp.make_solver(sys_, param, auto_probe_refresh=True, **kw)
+    assert not s3.backend_probe_cached
+    assert len(builds) > n_first + 1
+
+    # a different shape misses the cache
+    p2 = dict(param)
+    p2["N"] = 12
+    s4 = sp.make_solver(sys_, p2, **kw)
+    assert not s4.backend_probe_cached
+    res = s2(st["x"], st["xr"], st["ur"])
+    assert int(res.e_flag[0]) == 1
