@@ -253,6 +253,7 @@ def _build_ellipmpc_admm_fused(ing, opt) -> BatchedSolver:
                 segT_j, c_pad_j, rho=rho_f, tol_p=tol, tol_d=tol,
                 k_max=k_max, r_ball=float(ing["r"]), tile_b=tile_b,
                 check_every=check_every,
+                exact_k=bool(opt.solver.get("exact_k", False)),
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
         z_o = _from_t(z[:Bsz])
         v_o = _from_t(v[:Bsz])

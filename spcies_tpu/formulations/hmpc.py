@@ -632,6 +632,7 @@ def _build_hmpc_split_fused(ing, opt, M1_np, M2_np, symmetric: bool):
                 tol_d=tol_d, k_max=k_max, use_soc=use_soc,
                 symmetric=symmetric, dim_p=dim_p, n_boxp=n_boxp, cp=cp,
                 tile_b=tile_b, check_every=check_every,
+                exact_k=bool(opt.solver.get("exact_k", False)),
                 interpret=interpret)
         zs_o = jnp.take(zs[:Bsz], pos_full_j, axis=1)
         lm_o = jnp.take(lm[:Bsz], pos_full_j, axis=1)

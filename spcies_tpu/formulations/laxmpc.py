@@ -322,6 +322,9 @@ def _build_fista_fused(ing, opt, make_q_ref, make_b) -> BatchedSolver:
     restart = bool(opt.solver.get("restart", False))
     tile_b = int(opt.solver.get("tile_b", 256))
     check_every = int(opt.solver.get("check_every", 1))
+    # exact_k: free-run windows + per-iteration window replay — dense
+    # masked-loop exit semantics at free-run speed (kernels/fused_fista.py)
+    exact_k = bool(opt.solver.get("exact_k", False))
     interpret = bool(opt.solver.get("pallas_interpret", False))
 
     nzp = _round_up(nz, 128)
@@ -373,7 +376,7 @@ def _build_fista_fused(ing, opt, make_q_ref, make_b) -> BatchedSolver:
                 jnp.pad(y, padl), jnp.pad(y, padl),
                 G_pad, GT_pad, WinvT_pad, hinv_pad_j, LB_pad_j, UB_pad_j,
                 tol=tol, k_max=k_max, restart=restart, tile_b=tile_b,
-                check_every=check_every,
+                check_every=check_every, exact_k=exact_k,
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
         z = z[:Bsz, :nz]
         return SolveResult(u=z[:, :m], k=k[:Bsz], e_flag=e_flag[:Bsz],

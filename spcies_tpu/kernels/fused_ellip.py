@@ -56,7 +56,7 @@ def _fused_ellip_kernel(z1_ref, v0_ref, lam0_ref, m2_ref, pinvh_ref,
                         z_ref, v_ref, lam_ref, k_ref, done_ref,
                         rp_ref, rd_ref, red_scratch,
                         *, rho, rho_i, tol_p, tol_d, k_max, r_ball,
-                        check_every, fixed_iters):
+                        check_every, fixed_iters, exact_k=False):
     z = z1_ref[:]
     v = v0_ref[:]
     lam = lam0_ref[:]
@@ -146,6 +146,62 @@ def _fused_ellip_kernel(z1_ref, v0_ref, lam0_ref, m2_ref, pinvh_ref,
         it, done = carry[0], carry[1]
         return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
 
+    if check_every > 1 and exact_k:
+        # exact-k free-run (kernels/fused_admm.py pattern, VERDICT r4
+        # next-#5): unrolled windows + window-start (z, v, lam) snapshots,
+        # then a per-iteration replay with freeze blending — k, e_flag,
+        # exit iterates bit-identical to the exact (check_every=1) mode.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, z_c, v_c, lam_c, sz, sv, sl) = carry
+            a = 1.0 - done
+            na = done
+            sz = a * z_c + na * sz
+            sv = a * v_c + na * sv
+            sl = a * lam_c + na * sl
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            for _ in range(check_every - 1):
+                z_c, v_c, lam_c = fast_body(0, (z_c, v_c, lam_c))
+            zn, v_new, lam_new, r_p, r_d = step_checked(z_c, v_c, lam_c)
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, kws, zn, v_new, lam_new,
+                    sz, sv, sl)
+
+        (_it, done_fr, kws, _z2, _v2, _l2, sz, sv, sl) = \
+            jax.lax.while_loop(
+                cond, body_e,
+                (jnp.int32(0), done0, k0, z, v, lam, z, v, lam))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, z_cons, z_next, v_c, lam_c, rp, rd) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            zn, v_new, lam_new, r_p, r_d = step_checked(z_next, v_c,
+                                                        lam_c)
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            return (jnp.maximum(convd, act * conv), k2 + act,
+                    act * z_next + na * z_cons, act * zn + na * z_next,
+                    act * v_new + na * v_c, act * lam_new + na * lam_c,
+                    act * r_p + na * rp, act * r_d + na * rd)
+
+        convd, k2, z, _zn2, v, lam, rp, rd = jax.lax.fori_loop(
+            0, check_every, body_r, (done0, kws, sz, sz, sv, sl,
+                                     rbig, rbig))
+        z_ref[:] = z
+        v_ref[:] = v
+        lam_ref[:] = lam
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rp_ref[:] = rp
+        rd_ref[:] = rd
+        return
+
     if check_every > 1:
         # free-running mode (fused_admm semantics): plain iterations
         # between checks, k at check granularity, converged lanes keep
@@ -198,7 +254,8 @@ def fused_ellip_solve(z1, v0, lam0, M2_pad, PINVH_pad, LB_pad, UB_pad,
                       segT, c_pad, *, rho: float, tol_p: float,
                       tol_d: float, k_max: int, r_ball: float,
                       tile_b: int = 256, check_every: int = 1,
-                      fixed_iters: int = 0, interpret: bool = False):
+                      fixed_iters: int = 0, exact_k: bool = False,
+                      interpret: bool = False):
     """Run the fused ellipMPC-ADMM loop in transformed coordinates.
 
     All arrays lane-padded to a 128 multiple and batch-padded to tile_b.
@@ -214,7 +271,7 @@ def fused_ellip_solve(z1, v0, lam0, M2_pad, PINVH_pad, LB_pad, UB_pad,
         _fused_ellip_kernel, rho=float(rho), rho_i=float(1.0 / rho),
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=int(k_max),
         r_ball=float(r_ball), check_every=int(check_every),
-        fixed_iters=int(fixed_iters or 0))
+        fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k))
 
     tile = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -62,7 +62,8 @@ def _fused_fista_kernel(q1_ref, z0_ref, r0_ref, y0_ref, lam0_ref,
                         g_ref, gt_ref, winvt_ref, hinv_ref, lb_ref, ub_ref,
                         z_ref, y_ref, lam_ref, k_ref, done_ref, res_ref,
                         red_scratch,
-                        *, tol, k_max, restart, check_every, fixed_iters):
+                        *, tol, k_max, restart, check_every, fixed_iters,
+                        exact_k=False):
     q = q1_ref[:]           # [tile_b, nzp]   q = q_ref - y G (current y)
     z_prev = z0_ref[:]      # [tile_b, nzp]   z of the previous iteration
     r = r0_ref[:]           # [tile_b, nlamp] r = b - z_prev G'
@@ -128,6 +129,110 @@ def _fused_fista_kernel(q1_ref, z0_ref, r0_ref, y0_ref, lam0_ref,
     def cond(carry):
         it, done = carry[0], carry[1]
         return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+    if check_every > 1 and exact_k:
+        # exact-k free-run (ported from kernels/fused_admm.py, VERDICT r4
+        # next-#5): run unrolled check_every windows snapshotting each
+        # lane's FULL in-loop state (q, z_prev, r, y, lam, t, res_run) at
+        # the start of the window it converges in, then REPLAY that
+        # window per-iteration with the exact-mode (check_every=1)
+        # semantics — converging-iteration momentum masking included — so
+        # k, e_flag and the exit iterates are bit-identical to the dense
+        # masked loop (solvers/fista.py) at free-run speed. Valid because
+        # free-run and exact-mode iterates coincide up to each lane's
+        # first tol hit; windows may overshoot k_max (outputs come from
+        # the budget-capped replay).
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, q, z_prev, r, y, lam, t, res_run,
+             sq, sz, sr, sy, sl, st_, sres) = carry
+            a = 1.0 - done
+            na = done
+            sq = a * q + na * sq
+            sz = a * z_prev + na * sz
+            sr = a * r + na * sr
+            sy = a * y + na * sy
+            sl = a * lam + na * sl
+            st_ = a * t + na * st_
+            sres = a * res_run + na * sres
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            # FISTA residuals OSCILLATE (unlike ADMM's near-monotone
+            # decrease), so a lane can dip under tol mid-window and be
+            # back above it at the window check — convergence must be
+            # detected on the WINDOW-MINIMUM residual or the replay
+            # targets the wrong window and k diverges from dense.
+            res_min = rbig
+            for _ in range(check_every - 1):
+                z, r_new, lam_new, t_new, y_new, res_run = iterate(
+                    q, z_prev, r, y, lam, t, res_run)
+                res_min = jnp.minimum(res_min, res_run)
+                dy = y_new - y
+                q = q - jax.lax.dot(dy, g,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+                z_prev, r, y, lam, t = z, r_new, y_new, lam_new, t_new
+            z, r_new, lam_new, t_new, y_new, res = iterate(
+                q, z_prev, r, y, lam, t, res_run)
+            res_min = jnp.minimum(res_min, res)
+            conv = (res_min <= tol).astype(jnp.float32)
+            dy = y_new - y
+            q = q - jax.lax.dot(dy, g,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, kws, q, z, r_new, y_new,
+                    lam_new, t_new, res, sq, sz, sr, sy, sl, st_, sres)
+
+        def cond_e(carry):
+            it, done = carry[0], carry[1]
+            return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+        (_it, done_fr, kws, _q, _z, _r, _y, _lam, _t, _res,
+         sq, sz, sr, sy, sl, st_, sres) = jax.lax.while_loop(
+            cond_e, body_e,
+            (jnp.int32(0), done0, k0, q, z_prev, r, y, lam, t0, rbig,
+             q, z_prev, r, y, lam, t0, rbig))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, q, z_prev, r, y, lam, t, res_c) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            prev_done = jnp.maximum(convd, 1.0 - within)
+            z, r_new, lam_new, t_new, y_new, res = iterate(
+                q, z_prev, r, y, lam, t, res_c)
+            conv = (res <= tol).astype(jnp.float32)
+            keep = jnp.maximum(conv, prev_done)
+            lam_out = (1.0 - keep) * lam_new + keep * lam
+            y_out = (1.0 - keep) * y_new + keep * y
+            t_out = (1.0 - keep) * t_new + keep * t
+            dy = y_out - y
+            q_new = q - jax.lax.dot(dy, g,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
+            a = 1.0 - prev_done
+            na = prev_done
+            z_out = a * z + na * z_prev
+            r_out = a * r_new + na * r
+            q_out = a * q_new + na * q
+            k2_out = k2 + a
+            res_out = a * res + na * res_c
+            convd_out = jnp.maximum(convd, a * conv)
+            return (convd_out, k2_out, q_out, z_out, r_out, y_out,
+                    lam_out, t_out, res_out)
+
+        convd, k2, _q2, z_prev, _r2, y, lam, _t2, res = jax.lax.fori_loop(
+            0, check_every, body_r,
+            (done0, kws, sq, sz, sr, sy, sl, st_, sres))
+        z_ref[:] = z_prev
+        y_ref[:] = y
+        lam_ref[:] = lam
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        res_ref[:] = res
+        return
 
     if check_every > 1:
         # free-running mode: plain iterations between checks; converged
@@ -217,7 +322,8 @@ def fused_fista_solve(q1, z0, r0, y0, lam0, G_pad, GT_pad, WinvT_pad,
                       hinv_pad, LB_pad, UB_pad, *,
                       tol: float, k_max: int, restart: bool = False,
                       tile_b: int = 256, check_every: int = 1,
-                      fixed_iters: int = 0, interpret: bool = False):
+                      fixed_iters: int = 0, exact_k: bool = False,
+                      interpret: bool = False):
     """Run the fused dual-FISTA loop. All arrays lane-padded to 128
     multiples (zero pads per the module contract), batch padded to a
     tile_b multiple. Returns (z, y, lam, k [B], e_flag [B], res [B])."""
@@ -228,7 +334,7 @@ def fused_fista_solve(q1, z0, r0, y0, lam0, G_pad, GT_pad, WinvT_pad,
     kernel = functools.partial(
         _fused_fista_kernel, tol=float(tol), k_max=int(k_max),
         restart=bool(restart), check_every=int(check_every),
-        fixed_iters=int(fixed_iters or 0))
+        fixed_iters=int(fixed_iters or 0), exact_k=bool(exact_k))
 
     ztile = pl.BlockSpec((tile_b, nzp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

@@ -61,7 +61,8 @@ def _fused_split_kernel(aux1_ref, zs0_ref, lm0_ref, m1p_ref,
                         zs_ref, lm_ref, aux_ref, k_ref, done_ref,
                         rp_ref, rd_ref, red_scratch,
                         *, alpha, tol_p, tol_d, k_max, use_soc,
-                        symmetric, dim_p, n_boxp, cp, check_every):
+                        symmetric, dim_p, n_boxp, cp, check_every,
+                        exact_k=False):
     aux = aux1_ref[:]        # [tile_b, P]  current (z_hat, s_hat)
     zs = zs0_ref[:]          # [tile_b, P]  projected (z, s), seg layout
     lm = lm0_ref[:]          # [tile_b, P]  duals (lam, mu), seg layout
@@ -116,6 +117,82 @@ def _fused_split_kernel(aux1_ref, zs0_ref, lm0_ref, m1p_ref,
     def cond(carry):
         it, done = carry[0], carry[1]
         return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+    if check_every > 1 and exact_k:
+        # exact-k free-run (kernels/fused_admm.py pattern, VERDICT r4
+        # next-#5): unrolled windows snapshotting each lane's (aux, zs,
+        # lm) at the start of its convergence window, then a per-
+        # iteration replay of that window with freeze blending — k,
+        # e_flag and exit iterates bit-identical to the exact
+        # (check_every=1) path. (S)ADMM residuals are near-monotone past
+        # the transient, so window-end detection finds the right window;
+        # the replay then locates the exact first-tol-hit inside it.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, aux, zs, lm, sa, szs, slm) = carry
+            a = 1.0 - done
+            na = done
+            sa = a * aux + na * sa
+            szs = a * zs + na * szs
+            slm = a * lm + na * slm
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            for _ in range(check_every - 1):
+                aux, zs, lm, _dp, _dd = iterate(aux, zs, lm)
+            aux2, zs2, lm2, dp, dd = iterate(aux, zs, lm)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(dd), axis=1,
+                                          keepdims=True)
+            conv = ((red_scratch[:, 0:1] <= tol_p)
+                    & (red_scratch[:, 1:2] <= tol_d)).astype(jnp.float32)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, kws, aux2, zs2, lm2,
+                    sa, szs, slm)
+
+        (_it, done_fr, kws, _a2, _z2, _l2, sa, szs, slm) = \
+            jax.lax.while_loop(
+                cond, body_e,
+                (jnp.int32(0), done0, k0, aux, zs, lm, aux, zs, lm))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, aux_cons, aux_next, zs, lm, rp, rd) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            aux2, zs2, lm2, dp, dd = iterate(aux_next, zs, lm)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(dd), axis=1,
+                                          keepdims=True)
+            r_p = red_scratch[:, 0:1]
+            r_d = red_scratch[:, 1:2]
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            aux_cons_out = act * aux_next + na * aux_cons
+            aux_next_out = act * aux2 + na * aux_next
+            zs_out = act * zs2 + na * zs
+            lm_out = act * lm2 + na * lm
+            k2_out = k2 + act
+            rp_out = act * r_p + na * rp
+            rd_out = act * r_d + na * rd
+            convd_out = jnp.maximum(convd, act * conv)
+            return (convd_out, k2_out, aux_cons_out, aux_next_out,
+                    zs_out, lm_out, rp_out, rd_out)
+
+        convd, k2, aux, _an, zs, lm, rp, rd = jax.lax.fori_loop(
+            0, check_every, body_r,
+            (done0, kws, sa, sa, szs, slm, rbig, rbig))
+        zs_ref[:] = zs
+        lm_ref[:] = lm
+        aux_ref[:] = aux
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rp_ref[:] = rp
+        rd_ref[:] = rd
+        return
 
     if check_every > 1:
         def body_f(carry):
@@ -193,7 +270,7 @@ def fused_split_solve(aux1, zs0, lm0, M1P_pad, LB_pad, UB_pad, lby, uby,
                       use_soc: bool, symmetric: bool,
                       dim_p: int, n_boxp: int, cp: int,
                       tile_b: int = 256, check_every: int = 1,
-                      interpret: bool = False):
+                      exact_k: bool = False, interpret: bool = False):
     """Run the fused split (S)ADMM loop in the concatenated segment
     layout [z (dim_p) | box (n_boxp) | y0 | y1 | y2 (cp each)].
     Returns (zs, lm, aux, k [B], e_flag [B], r_p, r_d)."""
@@ -205,7 +282,7 @@ def fused_split_solve(aux1, zs0, lm0, M1P_pad, LB_pad, UB_pad, lby, uby,
         _fused_split_kernel, alpha=float(alpha), tol_p=float(tol_p),
         tol_d=float(tol_d), k_max=int(k_max), use_soc=bool(use_soc),
         symmetric=bool(symmetric), dim_p=dim_p, n_boxp=n_boxp, cp=cp,
-        check_every=int(check_every))
+        check_every=int(check_every), exact_k=bool(exact_k))
 
     tile = pl.BlockSpec((tile_b, P), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -176,12 +176,15 @@ FUSED_OPTS = dict(rho=15.0, tol=1e-4, k_max=5000)
 
 def _fused_pair(fixture, **extra):
     sys, param, _ = fixture
-    opts = sp.default_options("ellipMPC", "ADMM", **FUSED_OPTS,
-                              pallas_interpret=True, tile_b=8, **extra)
+    kw = {**FUSED_OPTS, **extra}
+    opts = sp.default_options("ellipMPC", "ADMM",
+                              pallas_interpret=True, tile_b=8, **kw)
     opts.precision = "float"
     s_f = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
                          backend="fused", options=opts)
-    opts_d = sp.default_options("ellipMPC", "ADMM", **FUSED_OPTS)
+    opts_d = sp.default_options("ellipMPC", "ADMM",
+                                **{k: v for k, v in kw.items()
+                                   if k not in ("check_every", "exact_k")})
     opts_d.precision = "float"
     s_d = sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
                          backend="dense", options=opts_d)
@@ -308,3 +311,36 @@ def test_soc_fused_rejects_fp64(fixture):
     with pytest.raises(ValueError, match="fp32"):
         sp.make_solver(sys, param, formulation="ellipMPC", method="ADMM",
                        submethod="soc", backend="fused", **SOC_OPTS)
+
+
+def test_fused_exact_k(fixture):
+    """exact_k free-run (window snapshot + per-iteration replay,
+    kernels/fused_admm.py pattern; VERDICT r4 next-#5): bit-identical to
+    the kernel's own check_every=1 exact mode — k, e_flag, iterates —
+    including the k_max-capped path."""
+    _, _, st = fixture
+    rng = np.random.default_rng(5)
+    B = 8
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    s_exact, _ = _fused_pair(fixture)
+    s_ek, _ = _fused_pair(fixture, check_every=8, exact_k=True)
+    r1 = s_exact(x0, xr, ur)
+    r2 = s_ek(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    np.testing.assert_array_equal(np.asarray(r1.e_flag),
+                                  np.asarray(r2.e_flag))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                      np.asarray(r2.sol[key]))
+    # capped path
+    s_exact_c, _ = _fused_pair(fixture, tol=1e-13, k_max=19)
+    s_ek_c, _ = _fused_pair(fixture, tol=1e-13, k_max=19, check_every=8,
+                            exact_k=True)
+    r1c = s_exact_c(x0, xr, ur)
+    r2c = s_ek_c(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1c.k), np.asarray(r2c.k))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
+                                      np.asarray(r2c.sol[key]))

@@ -331,3 +331,51 @@ def test_banded_parallel_scan_matches_sequential(fixture, submethod):
         gap = np.max(np.abs(np.asarray(rs.sol[key])
                             - np.asarray(rp.sol[key])))
         assert gap < 1e-8, (key, gap)
+
+
+@pytest.mark.parametrize("method", ["ADMM", "SADMM"])
+def test_fused_split_exact_k(fixture, method):
+    """exact_k free-run for the split kernel (VERDICT r4 next-#5): window
+    snapshot + per-iteration replay must reproduce the kernel's own
+    check_every=1 exact mode BIT-EXACTLY (k, e_flag, iterates) — the
+    per-iteration exit contract at free-run speed. (Dense parity is
+    roundoff-level for this kernel — the segment-permuted KKT matmul
+    contracts in a different order — so the bit-exact reference is the
+    kernel's exact mode, itself k-within-5 of dense above.)"""
+    sys, param, st = fixture
+    kw = dict(rho=2.0, sigma=20.0, tol_p=1e-5, tol_d=1e-5, k_max=3000)
+
+    def build(**extra):
+        o = sp.default_options("HMPC", method, "split",
+                               pallas_interpret=True, tile_b=8,
+                               **{**kw, **extra})
+        o.precision = "float"
+        return sp.make_solver(sys, param, formulation="HMPC",
+                              method=method, submethod="split",
+                              backend="fused", options=o)
+
+    s_exact = build()
+    s_ek = build(check_every=8, exact_k=True)
+    B = 8
+    rng = np.random.default_rng(13)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    r1 = s_exact(x0, xr, ur)
+    r2 = s_ek(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    np.testing.assert_array_equal(np.asarray(r1.e_flag),
+                                  np.asarray(r2.e_flag))
+    for key in ("z", "s", "lam", "mu"):
+        np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                      np.asarray(r2.sol[key]))
+    # k_max-capped path
+    s_exact_c = build(tol_p=1e-13, tol_d=1e-13, k_max=19)
+    s_ek_c = build(tol_p=1e-13, tol_d=1e-13, k_max=19, check_every=8,
+                   exact_k=True)
+    r1c = s_exact_c(x0, xr, ur)
+    r2c = s_ek_c(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1c.k), np.asarray(r2c.k))
+    for key in ("z", "s", "lam", "mu"):
+        np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
+                                      np.asarray(r2c.sol[key]))
