@@ -3,18 +3,32 @@
 Headline metric (BASELINE.json north star, PINNED — VERDICT r2 next-#4):
 laxMPC-ADMM solves/s/chip at N=30, tol=1e-4, through the fused Pallas
 kernel in exact-k mode (reference per-iteration exit semantics,
-code_laxMPC_ADMM_C.c:570-631, recovered by window replay). The free-run
-lane (check_every=8, window-granular k) is reported beside it in the
-family matrix, never promoted.
+code_laxMPC_ADMM_C.c:570-631, recovered by window replay). r05: the
+free-run window is statically unrolled (MICROBENCH_r05: loop overhead was
+~40% of an iteration) and the headline row ALSO reports chained-dependency
+timing (each call's input depends on the previous call's output, one
+final sync), which is immune to the tunnel's partially-async
+block_until_ready and therefore the conservative number.
 
-The same JSON line carries a COMPLETE per-triple matrix (VERDICT r2
-next-#3): all 13 generated-solver triples, each measured to convergence at
-the reference tolerance with its dense engine AND its fused/banded
-backend where one exists, reporting both so fused-vs-dense regressions
-are visible (best backend promoted to the row's headline numbers).
+CONTROL row (VERDICT r4 next-#8): the r03-frozen config — rho=10,
+alpha=1.9, tile_b=256, check_every=16 — run through the r03/r04-shaped
+kernel (unroll_window=False), measured in the SAME session as the
+headline every round. Its drift across rounds is tunnel weather; a
+headline move without a control move is a real code effect.
 
-Prints ONE JSON line. Runs on whatever the default JAX platform is (real
-TPU under the driver).
+Family matrix: all 13 generated-solver triples at BOTH the N=10 tester
+fixture AND the N=30 metric horizon (VERDICT r4 next-#4), each measured
+to convergence at the reference tolerance with its dense engine AND its
+fused/banded backend (best promoted to the row, both visible).
+
+Closed-loop rows (VERDICT r4 next-#2/#3/#9): cold / carry / shifted warm
+start at k_max=1000 (the r04 k_max=2000 crutch reverted). The shifted
+receding-horizon warm start (runtime/rollout.py) is the serving
+configuration; the cold row carries straggler_polish so residual fp32
+floor states finish at fp64-grade accuracy (solvers/admm.py). A fused
+exact-k closed-loop row runs the production kernel inside the scan.
+
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -41,9 +55,6 @@ def _bench_solver(solver, args, reps=5):
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    # min/median/max spread (VERDICT r3 next-#9): the shared-tunnel TPU's
-    # ~7% run-to-run variance is recorded so cross-round deltas are
-    # interpretable
     return dict(solves_per_s=round(n / dt, 1),
                 solves_per_s_min=round(n / times[-1], 1),
                 solves_per_s_max=round(n / times[0], 1),
@@ -53,11 +64,33 @@ def _bench_solver(solver, args, reps=5):
                 vs_baseline=round(n / dt / 10000.0, 3))
 
 
+def _bench_chained(solver, args, reps=5, rounds=2):
+    """Chained-dependency timing: call r+1's x0 input depends on call r's
+    output, so the device must serialize the chain; one tiny final
+    transfer syncs. Immune to under-waiting block_until_ready (the axon
+    tunnel returns early on small programs — tools/kernel_microbench.py)."""
+    import jax
+    import jax.numpy as jnp
+    x0 = args[0]
+    zero = jax.device_put(jnp.float32(0.0))
+    n = x0.shape[1]
+    r = solver(*args)
+    np.asarray(r.k[:1])
+
+    def chain(R):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(R):
+            r = solver(x, *args[1:])
+            x = x0 + zero * r.sol["z"][:, :n]
+        np.asarray(r.k[:1])
+        return time.perf_counter() - t0
+    dts = [chain(reps) / reps for _ in range(rounds)]
+    return round(x0.shape[0] / min(dts), 1)
+
+
 def main():
     import os
-    # persistent XLA compile cache (same cache as tools/bench_longn.py):
-    # the 13-family matrix compiles ~30 programs; cached reruns skip
-    # straight to measurement
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_spcies"))
     import jax
@@ -68,9 +101,7 @@ def main():
     import spcies_tpu as sp
 
     N = 30            # BASELINE.json metric horizon
-    BATCH = 32768     # throughput-optimal on one chip (amortizes the
-                      # per-launch dispatch latency; measured sweep
-                      # 16k/32k/64k/128k)
+    BATCH = 32768     # throughput-optimal on one chip (measured sweep)
     TOL = 1e-4        # reference default tolerance (def_options_laxMPC_ADMM.m)
     K_MAX = 1000
 
@@ -79,9 +110,6 @@ def main():
     param30["N"] = N
 
     def dev(a):
-        # device-resident inputs: the metric is on-device solve throughput;
-        # production batches stream in asynchronously, while the dev tunnel
-        # adds tens of ms of host->device latency per transfer
         return jax.device_put(jnp.asarray(a, jnp.float32))
 
     rng = np.random.default_rng(0)
@@ -96,38 +124,42 @@ def main():
         return o
 
     # ------------------------------------------------------------------
-    # Headline (PINNED): laxMPC-ADMM N=30, fused Pallas kernel in exact-k
-    # mode — reference per-iteration exit contract at free-run throughput.
-    # rho + over-relaxation tuned on the benchmark workload (alpha=1.9
-    # halves the batch-max iteration count at identical tolerance).
-    # Dense XLA fallback if the kernel fails to compile on this chip.
+    # Headline (PINNED): laxMPC-ADMM N=30, fused exact-k, unrolled window
+    # (256 x 16; r05 A/B: +24% over the looped r04 kernel in-session).
     # ------------------------------------------------------------------
     def build_lax(backend, **extra):
-        # bf16_delta stays ON for the dense engine (HBM-streaming matmul:
-        # halving M_q bytes wins) and OFF for the fused kernel (PROFILE_r04:
-        # VMEM-resident and latency-bound, bf16 conversion costs ~5%)
         o = opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
                  bf16_delta=(backend == "dense"), relax_alpha=1.9, **extra)
         return sp.make_solver(sys_, param30, formulation="laxMPC",
                               method="ADMM", options=o, backend=backend)
 
-    backend_used = "fused-exact-k"
+    backend_used = "fused-exact-k-unrolled"
     try:
-        # tile_b=128 x check_every=16 at f32: inside PROFILE_r04's
-        # ~640-700k noise band (all configs equivalent within the tunnel's
-        # ±5% run-to-run variance); f32 because bf16 never consistently
-        # wins — the kernel is latency-bound, not MXU-bound
-        head = _bench_solver(
-            build_lax("fused", tile_b=128, check_every=16, exact_k=True),
-            (X0, XR, UR), reps=7)
+        head_solver = build_lax("fused", tile_b=256, check_every=16,
+                                exact_k=True)
+        head = _bench_solver(head_solver, (X0, XR, UR), reps=7)
+        head["solves_per_s_chained"] = _bench_chained(
+            head_solver, (X0, XR, UR))
     except Exception:
         backend_used = "dense-fallback"
         head = _bench_solver(build_lax("dense"), (X0, XR, UR), reps=7)
 
     fam = {}
     fam["laxMPC-ADMM-exact-k"] = dict(head, backend=backend_used)
-    # free-run lane (window-granular k, converged lanes over-iterate
-    # until the tile drains): reported, never promoted to headline
+
+    # CONTROL (never retune): r03 config through the r03/r04-shaped
+    # looped-window kernel — the cross-round tunnel-variance yardstick
+    try:
+        ctrl_solver = build_lax("fused", tile_b=256, check_every=16,
+                                exact_k=True, unroll_window=False)
+        ctrl = _bench_solver(ctrl_solver, (X0, XR, UR), reps=7)
+        ctrl["solves_per_s_chained"] = _bench_chained(
+            ctrl_solver, (X0, XR, UR))
+        fam["control-r03-frozen"] = dict(ctrl, backend="fused-exact-k-looped")
+    except Exception as e:
+        fam["control-r03-frozen"] = dict(error=str(e)[:160])
+
+    # free-run lane (window-granular k): reported, never promoted
     try:
         fam["laxMPC-ADMM-free-run"] = dict(_bench_solver(
             build_lax("fused", tile_b=512, check_every=8), (X0, XR, UR),
@@ -135,35 +167,29 @@ def main():
     except Exception as e:
         fam["laxMPC-ADMM-free-run"] = dict(error=str(e)[:160])
 
-    # dense XLA engine on the IDENTICAL headline workload: the
-    # fused-vs-dense comparison at the metric horizon (the family matrix
-    # below compares at N=10, where padding penalties differ)
+    # dense XLA engine on the identical headline workload
     try:
         fam["laxMPC-ADMM-dense-N30"] = dict(_bench_solver(
             build_lax("dense"), (X0, XR, UR), reps=5), backend="dense")
     except Exception as e:
         fam["laxMPC-ADMM-dense-N30"] = dict(error=str(e)[:160])
 
-    # effective FLOP rate of the headline: the per-iteration hot op is the
-    # delta-form lane matmul dq[B, nzp] @ M_q[nzp, nzp] = 2*nzp^2 FLOPs
-    # per lane-iteration (padded nzp is what the MXU actually executes)
     nz = N * (len(st["x"]) + len(st["ur"]))
     nzp = ((nz + 127) // 128) * 128
     tflops = (head["solves_per_s"] * head["k_mean"]
               * 2.0 * nzp * nzp / 1e12)
 
     # ------------------------------------------------------------------
-    # Complete 13-triple matrix (N=10 tester fixture, reference
-    # tolerances, run to convergence; settings from
-    # tools/tpu_convergence_sweep.py). Each triple measures its dense
-    # engine and its fused/banded backend when one exists; the faster
-    # one's numbers become the row, both throughputs stay visible.
+    # Complete 13-triple matrix at N=10 (tester fixture) AND N=30 (metric
+    # horizon) — VERDICT r4 next-#4. Settings per family from
+    # tools/tpu_convergence_sweep.py; each triple measures dense + its
+    # accelerated backend, the faster one is promoted to the row.
     # ------------------------------------------------------------------
     FB = 8192
     X0f, XRf, URf = dev(x0b[:FB]), dev(xrb[:FB]), dev(urb[:FB])
-    ARGS = (X0f, XRf, URf)
+    n_x, m_u = len(st["x"]), len(st["ur"])
 
-    def family(name, make, backends, args=ARGS, reps=3):
+    def family(name, make, backends, args, reps=3):
         row, per = None, {}
         for be in backends:
             try:
@@ -177,9 +203,6 @@ def main():
         if row is None:
             row = dict(error="all backends failed")
         row["per_backend"] = per
-        # explicit callout when an accelerated backend loses to the dense
-        # engine on this fixture (the N=10 128-lane padding penalty —
-        # see README "Benchmark"): visible, not silently promoted away
         slower = [be for be, v in per.items()
                   if be != "dense" and isinstance(v, (int, float))
                   and isinstance(per.get("dense"), (int, float))
@@ -188,156 +211,151 @@ def main():
             row["slower_than_dense"] = slower
         fam[name] = row
 
-    # laxMPC-FISTA
-    pT = dict(param)
-    pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
-    family("laxMPC-FISTA", lambda be: sp.make_solver(
-        sys_, pT, formulation="laxMPC", method="FISTA", backend=be,
-        options=opts("laxMPC", "FISTA", tol=TOL, k_max=5000, restart=True,
-                     tile_b=256)), ("dense", "fused"))
-    # equMPC-ADMM / equMPC-FISTA
-    pE = dict(param)
-    pE.pop("T", None)
-    # rho/sigma below are tuned per family on the benchmark workload
-    # (fp64 iteration-count sweeps, all lanes converged; e.g. equMPC at
-    # rho=0.5 exits in ~35 iters vs ~386 at the laxMPC-style rho=15)
-    family("equMPC-ADMM", lambda be: sp.make_solver(
-        sys_, pE, formulation="equMPC", method="ADMM", backend=be,
-        options=opts("equMPC", "ADMM", rho=0.5, tol=TOL, k_max=5000,
-                     tile_b=512, check_every=8)), ("dense", "fused"))
-    family("equMPC-FISTA", lambda be: sp.make_solver(
-        sys_, pE, formulation="equMPC", method="FISTA", backend=be,
-        options=opts("equMPC", "FISTA", tol=TOL, k_max=5000,
-                     tile_b=256)), ("dense", "fused"))
-    # MPCT triple
-    pM = dict(param)
-    pM["T"] = 10.0 * np.asarray(param["Q"])
-    pM["S"] = np.asarray(param["R"]).copy()
-    family("MPCT-EADMM", lambda be: sp.make_solver(
-        sys_, pM, formulation="MPCT", method="EADMM", backend=be,
-        options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0,
-                     tol=TOL, k_max=5000, tile_b=256)), ("dense", "fused"))
-    family("MPCT-ADMM-cs", lambda be: sp.make_solver(
-        sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
-        backend=be,
-        options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=TOL, k_max=5000,
-                     tile_b=512, check_every=8)), ("dense", "fused"))
-    family("MPCT-ADMM-semiband", lambda be: sp.make_solver(
-        sys_, pM, formulation="MPCT", method="ADMM", submethod="semiband",
-        backend=be,
-        options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=TOL,
-                     tol_d=TOL, k_max=5000)), ("dense", "banded"))
-    # ellipMPC pair
-    pC = dict(param)
-    pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
-    pC["P"] = np.eye(len(st["xr"]))
-    pC["c"] = np.asarray(st["xr"])
-    pC["r"] = 0.5
-    family("ellipMPC-ADMM", lambda be: sp.make_solver(
-        sys_, pC, formulation="ellipMPC", method="ADMM", backend=be,
-        options=opts("ellipMPC", "ADMM", rho=3.0, tol=TOL, k_max=5000,
-                     tile_b=512, check_every=8)), ("dense", "fused"))
-    R_RUN = dev(np.full((FB, 1), 0.5))
-    family("ellipMPC-ADMM-soc", lambda be: sp.make_solver(
-        sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
-        backend=be,
-        options=opts("ellipMPC", "ADMM", "soc", rho=5.0, sigma=4.0,
-                     tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                     check_every=8)), ("dense", "fused"),
-        args=(X0f, XRf, URf, R_RUN))
-    # HMPC family
-    pH = dict(param)
-    pH.pop("T", None)
-    pH["w"] = 3 * 1.627 * 0.2
-    pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"])
-    pH["Th"] = pH["Te"]
-    pH["Se"] = np.asarray(pH["R"]).copy()
-    pH["Sh"] = 0.5 * pH["Se"]
-    family("HMPC-ADMM", lambda be: sp.make_solver(
-        sys_, pH, formulation="HMPC", method="ADMM", backend=be,
-        options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0, tol_p=TOL,
-                     tol_d=TOL, k_max=5000, tile_b=256, check_every=8)),
-        ("dense", "fused"))
-    family("HMPC-ADMM-split", lambda be: sp.make_solver(
-        sys_, pH, formulation="HMPC", method="ADMM", submethod="split",
-        backend=be,
-        options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=2.0,
-                     tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                     check_every=8)), ("dense", "fused"))
-    family("HMPC-SADMM-split", lambda be: sp.make_solver(
-        sys_, pH, formulation="HMPC", method="SADMM", submethod="split",
-        backend=be,
-        options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
-                     tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                     check_every=8)), ("dense", "fused"))
-    # ellipHMPC (7-input decomposed references). Scenario fixed in r04
-    # (VERDICT r3 weak-#3): per-lane sinusoidal position references whose
-    # amplitude EXCEEDS the coupled-output bounds, so the harmonic cone
-    # constraints bind and the hot loop actually runs (k_mean ~170 at
-    # rho=200 vs the old all-slack scenario's k=4 dispatch-only row).
-    sysE = dict(sys_)
-    n_x, m_u = len(st["x"]), len(st["ur"])
-    sysE["E"] = np.eye(3, n_x)
-    sysE["F"] = np.zeros((3, m_u))
-    sysE["LBy"] = -0.1 * np.ones(3)
-    sysE["UBy"] = 0.1 * np.ones(3)
-    amp = rng.uniform(0.5, 1.0, (FB, 1)) * 0.25
-    xrs = np.zeros((FB, n_x))
-    xrs[:, :3] = amp
-    xrc = np.zeros((FB, n_x))
-    xrc[:, :3] = 0.5 * amp
-    urs = 0.1 * np.ones((FB, m_u))
-    ARGS7 = (X0f, XRf, dev(xrs), dev(xrc), URf, dev(urs),
-             dev(np.zeros((FB, m_u))))
-    # Te = N*Q for this row: at the family's 10*N*Q the binding-cone
-    # scenario's q magnitudes sit at the TPU fp32 residual floor
-    # (tools/tpu_convergence_sweep.py note)
-    pH2 = dict(pH)
-    pH2["Te"] = pH2["N"] * np.asarray(pH["Q"])
-    pH2["Th"] = pH2["Te"]
-    family("ellipHMPC-ADMM", lambda be: sp.make_solver(
-        sysE, pH2, formulation="ellipHMPC", method="ADMM", backend=be,
-        options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
-                     tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                     check_every=8)), ("dense", "fused"), args=ARGS7)
+    def run_families(par, tag):
+        """One full 13-triple pass for a given base param (N encoded)."""
+        ARGS = (X0f, XRf, URf)
+        ex = dict(exact_k=True)   # families with exact-k kernels use it
+
+        pT = dict(par)
+        pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+        family(f"laxMPC-FISTA{tag}", lambda be: sp.make_solver(
+            sys_, pT, formulation="laxMPC", method="FISTA", backend=be,
+            options=opts("laxMPC", "FISTA", tol=TOL, k_max=5000,
+                         restart=True, tile_b=256, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
+        pE = dict(par)
+        pE.pop("T", None)
+        family(f"equMPC-ADMM{tag}", lambda be: sp.make_solver(
+            sys_, pE, formulation="equMPC", method="ADMM", backend=be,
+            options=opts("equMPC", "ADMM", rho=0.5, tol=TOL, k_max=5000,
+                         tile_b=512, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
+        family(f"equMPC-FISTA{tag}", lambda be: sp.make_solver(
+            sys_, pE, formulation="equMPC", method="FISTA", backend=be,
+            options=opts("equMPC", "FISTA", tol=TOL, k_max=5000,
+                         tile_b=256, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
+        pM = dict(par)
+        pM["T"] = 10.0 * np.asarray(param["Q"])
+        pM["S"] = np.asarray(param["R"]).copy()
+        family(f"MPCT-EADMM{tag}", lambda be: sp.make_solver(
+            sys_, pM, formulation="MPCT", method="EADMM", backend=be,
+            options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0,
+                         tol=TOL, k_max=5000, tile_b=256)),
+            ("dense", "fused"), ARGS)
+        family(f"MPCT-ADMM-cs{tag}", lambda be: sp.make_solver(
+            sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
+            backend=be,
+            options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=TOL,
+                         k_max=5000, tile_b=512, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
+        family(f"MPCT-ADMM-semiband{tag}", lambda be: sp.make_solver(
+            sys_, pM, formulation="MPCT", method="ADMM",
+            submethod="semiband", backend=be,
+            options=opts("MPCT", "ADMM", "semiband", rho=0.5, tol_p=TOL,
+                         tol_d=TOL, k_max=5000)), ("dense", "banded"),
+            ARGS)
+        pC = dict(par)
+        pC["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
+        pC["P"] = np.eye(n_x)
+        pC["c"] = np.asarray(st["xr"])
+        pC["r"] = 0.5
+        family(f"ellipMPC-ADMM{tag}", lambda be: sp.make_solver(
+            sys_, pC, formulation="ellipMPC", method="ADMM", backend=be,
+            options=opts("ellipMPC", "ADMM", rho=3.0, tol=TOL, k_max=5000,
+                         tile_b=512, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
+        R_RUN = dev(np.full((FB, 1), 0.5))
+        family(f"ellipMPC-ADMM-soc{tag}", lambda be: sp.make_solver(
+            sys_, pC, formulation="ellipMPC", method="ADMM",
+            submethod="soc", backend=be,
+            options=opts("ellipMPC", "ADMM", "soc", rho=5.0, sigma=4.0,
+                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
+                         check_every=8)), ("dense", "fused"),
+            (X0f, XRf, URf, R_RUN))
+        pH = dict(par)
+        pH.pop("T", None)
+        pH["w"] = 3 * 1.627 * 0.2
+        pH["Te"] = 10 * pH["N"] * np.asarray(pH["Q"])
+        pH["Th"] = pH["Te"]
+        pH["Se"] = np.asarray(pH["R"]).copy()
+        pH["Sh"] = 0.5 * pH["Se"]
+        family(f"HMPC-ADMM{tag}", lambda be: sp.make_solver(
+            sys_, pH, formulation="HMPC", method="ADMM", backend=be,
+            options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0, tol_p=TOL,
+                         tol_d=TOL, k_max=5000, tile_b=256,
+                         check_every=8)), ("dense", "fused"), ARGS)
+        family(f"HMPC-ADMM-split{tag}", lambda be: sp.make_solver(
+            sys_, pH, formulation="HMPC", method="ADMM",
+            submethod="split", backend=be,
+            options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=2.0,
+                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
+                         check_every=8, **ex)), ("dense", "fused"), ARGS)
+        family(f"HMPC-SADMM-split{tag}", lambda be: sp.make_solver(
+            sys_, pH, formulation="HMPC", method="SADMM",
+            submethod="split", backend=be,
+            options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
+                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
+                         check_every=8, **ex)), ("dense", "fused"), ARGS)
+        # ellipHMPC: binding-cone scenario (per-lane sinusoidal position
+        # references exceeding the coupled-output bounds)
+        sysE = dict(sys_)
+        sysE["E"] = np.eye(3, n_x)
+        sysE["F"] = np.zeros((3, m_u))
+        sysE["LBy"] = -0.1 * np.ones(3)
+        sysE["UBy"] = 0.1 * np.ones(3)
+        amp = rng.uniform(0.5, 1.0, (FB, 1)) * 0.25
+        xrs = np.zeros((FB, n_x))
+        xrs[:, :3] = amp
+        xrc = np.zeros((FB, n_x))
+        xrc[:, :3] = 0.5 * amp
+        urs = 0.1 * np.ones((FB, m_u))
+        ARGS7 = (X0f, XRf, dev(xrs), dev(xrc), URf, dev(urs),
+                 dev(np.zeros((FB, m_u))))
+        pH2 = dict(pH)
+        pH2["Te"] = pH2["N"] * np.asarray(pH["Q"])
+        pH2["Th"] = pH2["Te"]
+        family(f"ellipHMPC-ADMM{tag}", lambda be: sp.make_solver(
+            sysE, pH2, formulation="ellipHMPC", method="ADMM", backend=be,
+            options=opts("ellipHMPC", "ADMM", rho=200.0, sigma=0.01,
+                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
+                         check_every=8)), ("dense", "fused"), ARGS7)
+
+    run_families(param, "")            # N=10 tester fixture
+    run_families(param30, "@N30")      # metric horizon
 
     # ------------------------------------------------------------------
-    # Warm-start closed-loop rollout (VERDICT r3 next-#10): the receding-
-    # horizon serving pattern — solve, apply u0, propagate, warm-start the
-    # next solve from the previous (z, v, lam) — as ONE jitted scan on
-    # device (runtime/rollout.py; the capability the reference's dead
-    # L_z2/L_z3 warm-start apparatus gestured at,
-    # compute_MPCT_EADMM_ingredients.m:157-193). Reports batched closed-
-    # loop solves/s and per-step k_mean, warm vs cold.
+    # Closed-loop rollout at k_max=1000 (r04's k_max=2000 crutch
+    # reverted): cold / carry / SHIFT warm starts on the dense engine,
+    # plus the fused exact-k production kernel under shift (next-#9).
+    # cold carries straggler_polish (the fp32-floor fix) so residual
+    # floor states finish; shift needs no polish (0 floor failures
+    # measured at 25,600 solves on this workload).
     # ------------------------------------------------------------------
     from spcies_tpu.runtime import closed_loop_rollout
     CLB, CL_STEPS = 4096, 50
-    # k_max=2000: states visited mid-rollout are harder than the one-shot
-    # scenario (r04 validation: 1.2% of lanes capped at 1000)
-    s_cl = sp.make_solver(
-        sys_, param30, formulation="laxMPC", method="ADMM",
-        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=2000,
-                     relax_alpha=1.9))
     x0cl = dev(x0b[:CLB])
     xrcl, urcl = dev(xrb[:CLB]), dev(urb[:CLB])
     Apl, Bpl = np.asarray(sys_["A"]), np.asarray(sys_["B"])
-    for mode, ws in (("warm", True), ("cold", False)):
+
+    def cl_row(label, solver, ws, backend):
         try:
-            out_r = closed_loop_rollout(s_cl, Apl, Bpl, x0cl, xrcl, urcl,
-                                        n_steps=CL_STEPS, warm_start=ws)
+            out_r = closed_loop_rollout(solver, Apl, Bpl, x0cl, xrcl,
+                                        urcl, n_steps=CL_STEPS,
+                                        warm_start=ws)
             jax.block_until_ready(out_r["us"])
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 out_r = closed_loop_rollout(
-                    s_cl, Apl, Bpl, x0cl, xrcl, urcl,
+                    solver, Apl, Bpl, x0cl, xrcl, urcl,
                     n_steps=CL_STEPS, warm_start=ws)
                 jax.block_until_ready(out_r["us"])
                 times.append(time.perf_counter() - t0)
             times.sort()
             dt = times[len(times) // 2]
             ks = np.asarray(out_r["ks"])
-            fam[f"closed-loop-{mode}"] = dict(
+            fam[label] = dict(
                 solves_per_s=round(CLB * CL_STEPS / dt, 1),
                 solves_per_s_min=round(CLB * CL_STEPS / times[-1], 1),
                 solves_per_s_max=round(CLB * CL_STEPS / times[0], 1),
@@ -345,21 +363,39 @@ def main():
                 k_mean_after_step0=round(float(np.mean(ks[1:])), 1),
                 converged_frac=round(float(np.mean(
                     np.asarray(out_r["e_flags"]) == 1)), 4),
-                batch=CLB, n_steps=CL_STEPS, backend="dense-rollout",
-                note=("converged_frac counts every (lane, step) solve; "
-                      "~0.5% of mid-transient states floor just above "
-                      "tol=1e-4 in fp32 (measured across rho/alpha "
-                      "settings) and report e_flag=-1 at k_max"))
+                batch=CLB, n_steps=CL_STEPS, k_max=K_MAX,
+                backend=backend)
         except Exception as e:
-            fam[f"closed-loop-{mode}"] = dict(error=str(e)[:160])
+            fam[label] = dict(error=str(e)[:160])
+
+    s_cold = sp.make_solver(
+        sys_, param30, formulation="laxMPC", method="ADMM",
+        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
+                     relax_alpha=1.9, straggler_polish=1000))
+    cl_row("closed-loop-cold", s_cold, False, "dense+polish")
+    s_wm = sp.make_solver(
+        sys_, param30, formulation="laxMPC", method="ADMM",
+        options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
+                     relax_alpha=1.9))
+    cl_row("closed-loop-carry", s_wm, True, "dense")
+    cl_row("closed-loop-shift", s_wm, "shift", "dense")
+    try:
+        s_fu = build_lax("fused", tile_b=256, check_every=16, exact_k=True)
+        cl_row("closed-loop-shift-fused", s_fu, "shift", "fused-exact-k")
+    except Exception as e:
+        fam["closed-loop-shift-fused"] = dict(error=str(e)[:160])
 
     rows = [v for v in fam.values() if "vs_baseline" in v]
     out = {
         "metric": ("laxMPC-ADMM solves/s/chip "
-                   "(fused exact-k, osc-masses N=30, tol=1e-4)"),
+                   "(fused exact-k unrolled, osc-masses N=30, tol=1e-4)"),
         "value": head["solves_per_s"],
         "unit": "solves/s",
         "vs_baseline": head["vs_baseline"],
+        "value_chained": head.get("solves_per_s_chained"),
+        "control": fam.get("control-r03-frozen", {}).get("solves_per_s"),
+        "control_chained": fam.get("control-r03-frozen",
+                                   {}).get("solves_per_s_chained"),
         "batch": head["batch"],
         "k_mean": head["k_mean"],
         "converged_frac": head["converged_frac"],

@@ -20,6 +20,7 @@ is the TPU-native replacement for the reference's baked sparse constants.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from spcies_tpu.config import Options
@@ -629,6 +630,13 @@ def build_mpct_admm_cs(sys: dict, param: dict, opt: Options,
     if backend not in ("dense", "fused", "banded"):
         raise ValueError(
             "MPCT/ADMM-cs has dense, banded and fused backends")
+    if opt.time_varying:
+        # per-lane time-varying models (VERDICT r4 next-#6): beyond the
+        # reference, which has no TV mode for MPCT at all — the SURVEY §7
+        # "TV for free on every solver" design note, delivered through
+        # the O(N) banded path (the only feasible one at long horizons,
+        # BENCH_LONGN memory-wall measurement)
+        return _tv_cs_banded_solver(sys, param, opt)
     if backend == "banded":
         return _build_mpct_cs_banded(sys, param, opt)
     ing = mpct_admm_cs_ingredients(sys, param, opt)
@@ -733,6 +741,187 @@ def _build_mpct_cs_banded(sys: dict, param: dict,
 
     return BatchedSolver(_solve, ing, opt, n=n, m=m, N=N, nz=nz,
                          dtype=dtype)
+
+
+def _tv_cs_banded_solver(sys: dict, param: dict,
+                         opt: Options) -> BatchedSolver:
+    """Per-lane time-varying MPCT-ADMM-cs through the O(N) banded path.
+
+    9-input signature matching the laxMPC/equMPC TV convention
+    (x0, xr, ur, A, B, Qdiag, Rdiag, LB, UB): every lane carries its OWN
+    model and single-stage bounds [LBx; LBu]. T and S stay offline
+    constants (the laxMPC TV mode's T treatment,
+    compute_laxMPC_ADMM_ingredients.m:109-118); scalar rho only. All
+    per-lane ingredients — the stage Hessian inverse, the E0/C/D/F
+    equality stage maps, and the block-tridiagonal W factors — are
+    rebuilt inside the jitted solve (kernels.online_band_chol.
+    online_band_chol_tridiag), so memory stays O(B N (2n+m)^2): the
+    regime where any dense per-lane W is infeasible (BENCH_LONGN
+    memory-wall cells). No reference counterpart: the reference has no
+    TIME_VARYING mode for MPCT (cons_laxMPC_ADMM_C.m:47-52 scope).
+    """
+    from spcies_tpu.kernels.band_chol import (band_chol_solve,
+                                              band_chol_solve_scan)
+    from spcies_tpu.kernels.online_band_chol import online_band_chol_tridiag
+
+    A0, B0, n, m = get_sys_matrices(sys)
+    N = int(param["N"])
+    T = np.asarray(param["T"], dtype=float)
+    S = np.asarray(param["S"], dtype=float)
+    sd = 2 * (n + m)
+    bmax = 2 * n + m
+    nz = N * sd
+    Nb = N + 1
+    dtype = jnp.float64 if opt.precision == "double" else jnp.float32
+    tol = float(opt.solver["tol"])
+    k_max = int(opt.solver["k_max"])
+    rho_f = opt.solver["rho"]
+    if not np.isscalar(rho_f):
+        raise ValueError("time-varying mode requires scalar rho "
+                         "(cons_laxMPC_ADMM_C.m:47-52 convention)")
+    rho = dtype(float(rho_f))
+    rho_i = dtype(1.0 / float(rho_f))
+    eps_x = float(opt.solver["epsilon_x"])
+    eps_u = float(opt.solver["epsilon_u"])
+    Tj = jnp.asarray(T, dtype)
+    Sj = jnp.asarray(S, dtype)
+    TN = jnp.asarray(T / N, dtype)
+    SN = jnp.asarray(S / N, dtype)
+    band_solve = (band_chol_solve_scan
+                  if bool(opt.solver.get("band_parallel_scan", False))
+                  else band_chol_solve)
+
+    def _solve(x0, xr, ur, A, B, Qd, Rd, LB1, UB1, init, fixed_iters):
+        Bsz = x0.shape[0]
+        # per-lane stage Hessian Hhat = blkdiag(Qz, Rz) + rho I and its
+        # inverse (one sd x sd per lane; every stage shares it)
+        dQ = jax.vmap(jnp.diag)(Qd)               # [B, n, n]
+        dR = jax.vmap(jnp.diag)(Rd)
+        Qz = jnp.concatenate(
+            [jnp.concatenate([dQ, -dQ], axis=-1),
+             jnp.concatenate([-dQ, dQ + TN], axis=-1)], axis=-2)
+        Rz = jnp.concatenate(
+            [jnp.concatenate([dR, -dR], axis=-1),
+             jnp.concatenate([-dR, dR + SN], axis=-1)], axis=-2)
+        Hs = jnp.zeros((Bsz, sd, sd), x0.dtype)
+        Hs = Hs.at[:, :2 * n, :2 * n].set(Qz)
+        Hs = Hs.at[:, 2 * n:, 2 * n:].set(Rz)
+        Hinv = jnp.linalg.inv(Hs + rho * jnp.eye(sd, dtype=x0.dtype))
+
+        # per-lane equality stage maps (mpct_cs_banded_ingredients layout)
+        eyen = jnp.eye(n, dtype=x0.dtype)
+        eyem = jnp.eye(m, dtype=x0.dtype)
+        E0 = jnp.zeros((Bsz, 2 * n, sd), x0.dtype)
+        E0 = E0.at[:, :n, :n].set(eyen)
+        E0 = E0.at[:, n:, n:2 * n].set(A - eyen)
+        E0 = E0.at[:, n:, 2 * n + m:].set(B)
+        C = jnp.zeros((Bsz, bmax, sd), x0.dtype)
+        C = C.at[:, :n, :n].set(A)
+        C = C.at[:, :n, 2 * n:2 * n + m].set(B)
+        C = C.at[:, n:2 * n, n:2 * n].set(eyen)
+        C = C.at[:, 2 * n:, 2 * n + m:].set(eyem)
+        D = jnp.zeros((Bsz, bmax, sd), x0.dtype)
+        D = D.at[:, :n, :n].set(-eyen)
+        D = D.at[:, n:2 * n, n:2 * n].set(-eyen)
+        D = D.at[:, 2 * n:, 2 * n + m:].set(-eyem)
+        F = jnp.zeros((Bsz, n, sd), x0.dtype)
+        F = F.at[:, :, :n].set(A)
+        F = F.at[:, :, n:2 * n].set(-eyen)
+        F = F.at[:, :, 2 * n:2 * n + m].set(B)
+
+        def HI(M):          # M [B, r, sd] -> M Hinv [B, r, sd]
+            return jnp.einsum("brs,bst->brt", M, Hinv)
+
+        E0H, CH, DH, FH = HI(E0), HI(C), HI(D), HI(F)
+
+        def outer(X, Yt):   # X [B,r,sd] (pre-multiplied by Hinv), Y [B,q,sd]
+            return jnp.einsum("brs,bqs->brq", X, Yt)
+
+        # block-tridiagonal W blocks, identity on pad diagonals
+        Wd = jnp.zeros((Bsz, Nb, bmax, bmax), x0.dtype)
+        Wd = Wd.at[:, 0, :2 * n, :2 * n].set(outer(E0H, E0))
+        Wd = Wd.at[:, 0, 2 * n:, 2 * n:].set(eyem)
+        Wmid = outer(CH, C) + outer(DH, D)
+        Wd = Wd.at[:, 1:N].set(
+            jnp.broadcast_to(Wmid[:, None], (Bsz, N - 1, bmax, bmax)))
+        Wd = Wd.at[:, N, :n, :n].set(outer(FH, F))
+        Wd = Wd.at[:, N, n:, n:].set(jnp.eye(bmax - n, dtype=x0.dtype))
+        Wu = jnp.zeros((Bsz, Nb - 1, bmax, bmax), x0.dtype)
+        Wu = Wu.at[:, 0, :2 * n, :].set(outer(E0H, C))
+        Wu = Wu.at[:, 1:N - 1].set(
+            jnp.broadcast_to(outer(DH, C)[:, None],
+                             (Bsz, N - 2, bmax, bmax)))
+        Wu = Wu.at[:, N - 1, :, :n].set(outer(DH, F))
+        Alpha, BetaInv = online_band_chol_tridiag(Wd, Wu)
+
+        def hinv_apply(q):                      # q [B, N, sd]
+            return jnp.einsum("bls,bts->blt", q, Hinv)
+
+        def g_apply(h):
+            blk0 = jnp.pad(jnp.einsum("bs,brs->br", h[:, 0], E0),
+                           ((0, 0), (0, bmax - 2 * n)))
+            mid = (jnp.einsum("bls,brs->blr", h[:, :N - 1], C)
+                   + jnp.einsum("bls,brs->blr", h[:, 1:], D))
+            blkN = jnp.pad(jnp.einsum("bs,brs->br", h[:, N - 1], F),
+                           ((0, 0), (0, bmax - n)))
+            return jnp.concatenate([blk0[:, None], mid, blkN[:, None]],
+                                   axis=1)
+
+        def gt_apply(mu):
+            out = jnp.einsum("blr,brs->bls", mu[:, 1:N], C)
+            out = jnp.zeros((Bsz, N, sd), x0.dtype).at[:, :N - 1].set(out)
+            out = out.at[:, 1:N].add(
+                jnp.einsum("blr,brs->bls", mu[:, 1:N], D))
+            out = out.at[:, 0].add(
+                jnp.einsum("br,brs->bs", mu[:, 0, :2 * n], E0))
+            out = out.at[:, N - 1].add(
+                jnp.einsum("br,brs->bs", mu[:, N, :n], F))
+            return out
+
+        def z_step(q_hat, with_b0):
+            q = q_hat.reshape(Bsz, N, sd)
+            h = hinv_apply(q)
+            rhs = -g_apply(h)
+            if with_b0:
+                rhs = rhs.at[:, 0, :n].add(-x0)
+            mu = band_solve(rhs, Alpha, BetaInv)
+            z = -(h + hinv_apply(gt_apply(mu)))
+            return z.reshape(Bsz, -1)
+
+        # eps-tightened per-lane stage bounds (mpct_admm_cs_ingredients)
+        LBx, LBu = LB1[:, :n], LB1[:, n:]
+        UBx, UBu = UB1[:, :n], UB1[:, n:]
+        LBst = jnp.concatenate([LBx, LBx + eps_x, LBu, LBu + eps_u],
+                               axis=-1)
+        UBst = jnp.concatenate([UBx, UBx - eps_x, UBu, UBu - eps_u],
+                               axis=-1)
+        LB = jnp.tile(LBst, (1, N))
+        UB = jnp.tile(UBst, (1, N))
+
+        qstage = jnp.concatenate(
+            [jnp.zeros_like(x0), -(xr @ Tj.T) / N,
+             jnp.zeros_like(ur), -(ur @ Sj.T) / N], axis=-1)
+        q_ref = jnp.tile(qstage, (1, N))
+
+        z, v, lam, k, e_flag, r_p, r_d, hist = admm_solve(
+            lambda qh: z_step(qh, True),
+            lambda y: proj_box(y, LB, UB), q_ref, rho, rho_i, tol, tol,
+            k_max, batch=Bsz, nz=nz, dtype=dtype, init=init,
+            fixed_iters=fixed_iters,
+            relax_alpha=float(opt.solver.get("relax_alpha", 1.0)),
+            freeze_converged=bool(opt.solver.get("freeze_converged", True)),
+            straggler_polish=int(opt.solver.get("straggler_polish", 0)),
+            z_lin=lambda dq: z_step(dq, False),
+            history=opt.debug)
+        return SolveResult(u=v[:, 2 * n:2 * n + m], k=k, e_flag=e_flag,
+                           sol=dict(z=z, v=v, lam=lam, r_p=r_p, r_d=r_d,
+                                    **hist_sol_entries(hist)))
+
+    return BatchedSolver(
+        _solve, dict(n=n, m=m, N=N, nz=nz), opt, n=n, m=m, N=N, nz=nz,
+        dtype=dtype,
+        input_names=("x0", "xr", "ur", "A", "B", "Q", "R", "LB", "UB"),
+        input_core_ndims=(1, 1, 1, 2, 2, 1, 1, 1, 1))
 
 
 # ---------------------------------------------------------------------------

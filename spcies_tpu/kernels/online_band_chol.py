@@ -85,3 +85,36 @@ def online_band_chol_fn(N: int, terminal: bool):
         return Alpha, BetaInv
 
     return fn
+
+
+def online_band_chol_tridiag(Wd, Wu):
+    """Batched online block-tridiagonal Cholesky — the in-jit mirror of
+    utils.linalg.band_chol_blocks_tridiag for PER-LANE W blocks (the
+    time-varying long-horizon path: every lane carries its own model, so
+    the factorization must happen inside the solve).
+
+    Wd [B, Nb, b, b] diagonal blocks, Wu [B, Nb-1, b, b] super-diagonal
+    blocks. Returns (Alpha [B, Nb-1, b, b], BetaInv [B, Nb, b, b]) in the
+    batched-blocks form kernels.band_chol.band_chol_solve consumes.
+    Sequential lax.scan over the Nb stages of small [B, b, b] ops — the
+    same recursion the reference's TIME_VARYING C runs per problem
+    (code_laxMPC_ADMM_C.c:150-279), batched over lanes.
+    """
+    B, Nb, b, _ = Wd.shape
+    Wd_s = jnp.moveaxis(Wd, 1, 0)                      # [Nb, B, b, b]
+    Wu_pad = jnp.concatenate(
+        [jnp.moveaxis(Wu, 1, 0),
+         jnp.zeros((1, B, b, b), Wd.dtype)], axis=0)   # [Nb, B, b, b]
+
+    def step(alpha_prev, xs):
+        Wd_i, Wu_i = xs
+        S = Wd_i - jnp.swapaxes(alpha_prev, -1, -2) @ alpha_prev
+        Uinv_T, Uinv = _chol_upper_inv(S)
+        alpha = Uinv_T @ Wu_i
+        return alpha, (alpha, Uinv)
+
+    _, (alphas, uinvs) = jax.lax.scan(
+        step, jnp.zeros((B, b, b), Wd.dtype), (Wd_s, Wu_pad))
+    Alpha = jnp.moveaxis(alphas, 0, 1)[:, :-1]         # last is vs zero pad
+    BetaInv = jnp.moveaxis(uinvs, 0, 1)
+    return Alpha, BetaInv

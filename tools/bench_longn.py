@@ -51,6 +51,12 @@ FAMILIES = {
     # ([B, Nn, Nn] per-lane W), 'banded' = online band factors
     "laxMPC-ADMM-tv": (dict(dense=(120, 240), banded=(120, 240)),
                        dict(rho=15.0, tol=1e-4, k_max=1000)),
+    # r05: per-lane TV MPCT-cs through the O(N) block-tridiagonal banded
+    # path (VERDICT r4 next-#6) - the structured-only regime; no dense
+    # foil exists for this formulation (per-lane dense W would OOM at the
+    # same cells the laxMPC TV rows measured)
+    "MPCT-ADMM-cs-tv": (dict(banded=(120, 240)),
+                        dict(rho=2.0, tol=1e-4, k_max=1000)),
 }
 ITERS = 100
 
@@ -98,7 +104,13 @@ def run_single(family, backend, N):
             o.time_varying = True
         return o
 
-    if family.startswith("laxMPC-ADMM"):
+    if family == "MPCT-ADMM-cs-tv":
+        param["T"] = 10.0 * np.asarray(param["Q"])
+        param["S"] = np.asarray(param["R"]).copy()
+        make = lambda: sp.make_solver(
+            sys_, param, formulation="MPCT", method="ADMM",
+            submethod="cs", options=opts("MPCT", "ADMM", "cs"))
+    elif family.startswith("laxMPC-ADMM"):
         make = lambda: sp.make_solver(
             sys_, param, formulation="laxMPC", method="ADMM",
             backend="banded" if (tv and be != "dense") else be,
