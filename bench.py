@@ -212,9 +212,20 @@ def main():
         fam[name] = row
 
     def run_families(par, tag):
-        """One full 13-triple pass for a given base param (N encoded)."""
+        """One full 13-triple pass for a given base param (N encoded).
+        rho/sigma are tuned PER HORIZON on the benchmark workload (fp32
+        iteration-count probes, all lanes converged): first-order methods'
+        optimal penalty shifts with the horizon, and the N=10 settings
+        run 4-10x more iterations at N=30 (e.g. equMPC rho=0.5: k=36 at
+        N=10 but k=1954 at N=30; rho=6 + relaxation: k=136)."""
         ARGS = (X0f, XRf, URf)
         ex = dict(exact_k=True)   # families with exact-k kernels use it
+        n30 = bool(tag)
+        rho_equ = dict(rho=6.0, relax_alpha=1.8) if n30 else dict(rho=0.5)
+        rho_ellip = 5.0 if n30 else 3.0
+        rho_hmpc = 5.0 if n30 else 2.0
+        rho_split = 5.0 if n30 else 2.0
+        sig_split = 5.0 if n30 else 2.0
 
         pT = dict(par)
         pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
@@ -227,8 +238,8 @@ def main():
         pE.pop("T", None)
         family(f"equMPC-ADMM{tag}", lambda be: sp.make_solver(
             sys_, pE, formulation="equMPC", method="ADMM", backend=be,
-            options=opts("equMPC", "ADMM", rho=0.5, tol=TOL, k_max=5000,
-                         tile_b=512, check_every=8, **ex)),
+            options=opts("equMPC", "ADMM", tol=TOL, k_max=5000,
+                         tile_b=512, check_every=8, **rho_equ, **ex)),
             ("dense", "fused"), ARGS)
         family(f"equMPC-FISTA{tag}", lambda be: sp.make_solver(
             sys_, pE, formulation="equMPC", method="FISTA", backend=be,
@@ -262,8 +273,8 @@ def main():
         pC["r"] = 0.5
         family(f"ellipMPC-ADMM{tag}", lambda be: sp.make_solver(
             sys_, pC, formulation="ellipMPC", method="ADMM", backend=be,
-            options=opts("ellipMPC", "ADMM", rho=3.0, tol=TOL, k_max=5000,
-                         tile_b=512, check_every=8, **ex)),
+            options=opts("ellipMPC", "ADMM", rho=rho_ellip, tol=TOL,
+                         k_max=5000, tile_b=512, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         R_RUN = dev(np.full((FB, 1), 0.5))
         family(f"ellipMPC-ADMM-soc{tag}", lambda be: sp.make_solver(
@@ -282,21 +293,23 @@ def main():
         pH["Sh"] = 0.5 * pH["Se"]
         family(f"HMPC-ADMM{tag}", lambda be: sp.make_solver(
             sys_, pH, formulation="HMPC", method="ADMM", backend=be,
-            options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0, tol_p=TOL,
-                         tol_d=TOL, k_max=5000, tile_b=256,
+            options=opts("HMPC", "ADMM", rho=rho_hmpc, sigma=20.0,
+                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
                          check_every=8)), ("dense", "fused"), ARGS)
         family(f"HMPC-ADMM-split{tag}", lambda be: sp.make_solver(
             sys_, pH, formulation="HMPC", method="ADMM",
             submethod="split", backend=be,
-            options=opts("HMPC", "ADMM", "split", rho=2.0, sigma=2.0,
-                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                         check_every=8, **ex)), ("dense", "fused"), ARGS)
+            options=opts("HMPC", "ADMM", "split", rho=rho_split,
+                         sigma=sig_split, tol_p=TOL, tol_d=TOL,
+                         k_max=5000, tile_b=256, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
         family(f"HMPC-SADMM-split{tag}", lambda be: sp.make_solver(
             sys_, pH, formulation="HMPC", method="SADMM",
             submethod="split", backend=be,
-            options=opts("HMPC", "SADMM", "split", rho=2.0, sigma=2.0,
-                         tol_p=TOL, tol_d=TOL, k_max=5000, tile_b=256,
-                         check_every=8, **ex)), ("dense", "fused"), ARGS)
+            options=opts("HMPC", "SADMM", "split", rho=rho_split,
+                         sigma=sig_split, tol_p=TOL, tol_d=TOL,
+                         k_max=5000, tile_b=256, check_every=8, **ex)),
+            ("dense", "fused"), ARGS)
         # ellipHMPC: binding-cone scenario (per-lane sinusoidal position
         # references exceeding the coupled-output bounds)
         sysE = dict(sys_)

@@ -151,9 +151,18 @@ def closed_loop_rollout(solver, A, B, x0, xr, ur, *, n_steps: int,
 
         @jax.jit
         def run(x0, xr, ur, A, B, noise, init0):
-            (_, _), (xs, us, ks, es) = jax.lax.scan(
-                lambda c, w: step_fn(c, w, xr, ur, A, B), (x0, init0),
-                noise)
+            # full-f32 matmul precision at trace time: the scan calls
+            # solver.raw_fn directly (not BatchedSolver.__call__, which
+            # applies this context per call), and TPU's default matmul
+            # precision truncates fp32 operands to bf16 — measured to
+            # stall warm-started closed-loop solves near tol and erase
+            # the entire warm-start benefit (k_mean 225 vs 8 per step on
+            # the bench workload). Fused kernels self-shield with a
+            # nested "default" context around their pallas_call.
+            with jax.default_matmul_precision("highest"):
+                (_, _), (xs, us, ks, es) = jax.lax.scan(
+                    lambda c, w: step_fn(c, w, xr, ur, A, B), (x0, init0),
+                    noise)
             return xs, us, ks, es
 
         cache[key] = run
