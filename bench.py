@@ -5,10 +5,13 @@ laxMPC-ADMM solves/s/chip at N=30, tol=1e-4, through the fused Pallas
 kernel in exact-k mode (reference per-iteration exit semantics,
 code_laxMPC_ADMM_C.c:570-631, recovered by window replay). r05: the
 free-run window is statically unrolled (MICROBENCH_r05: loop overhead was
-~40% of an iteration) and the headline row ALSO reports chained-dependency
-timing (each call's input depends on the previous call's output, one
-final sync), which is immune to the tunnel's partially-async
-block_until_ready and therefore the conservative number.
+~40% of an iteration) and the headline row ALSO reports token-chained
+timing (value_chained — R device-serialized solves with overlapped
+dispatch, see _bench_chained), which is the TRUE per-solve device time:
+sync-per-call timing pays ~20 ms/call of non-overlapped tunnel dispatch
+on this dev setup, roughly HALVING the reported throughput vs what a
+pipelined serving stack gets. `value` stays sync-per-call for r03/r04
+comparability.
 
 CONTROL row (VERDICT r4 next-#8): the r03-frozen config — rho=10,
 alpha=1.9, tile_b=256, check_every=16 — run through the r03/r04-shaped
@@ -64,16 +67,21 @@ def _bench_solver(solver, args, reps=5):
                 vs_baseline=round(n / dt / 10000.0, 3))
 
 
-def _bench_chained(solver, args, reps=5, rounds=2):
-    """Chained-dependency timing: call r+1's x0 input depends on call r's
-    output, so the device must serialize the chain; one tiny final
-    transfer syncs. Immune to under-waiting block_until_ready (the axon
-    tunnel returns early on small programs — tools/kernel_microbench.py)."""
+def _bench_chained(solver, args, reps=8, rounds=3):
+    """TRUE device throughput: R solves chained through a TINY dependency
+    token (the previous call's k[:1] folded into the next x0 by a zero
+    multiply), one final sync. The device must execute the solves
+    serially, while host dispatch overlaps execution — so this measures
+    per-solve device time without the tunnel's ~20 ms/call non-overlapped
+    dispatch that sync-per-call timing (the solves_per_s fields) pays,
+    and without the big-array eager-op overhead a naive output-chained
+    dependency adds (~20 ms/call, measured). bench-style vs chained at
+    the r05 headline: ~0.87M vs ~1.9M solves/s — production serving
+    pipelines back-to-back batches and sees the chained number."""
     import jax
     import jax.numpy as jnp
     x0 = args[0]
     zero = jax.device_put(jnp.float32(0.0))
-    n = x0.shape[1]
     r = solver(*args)
     np.asarray(r.k[:1])
 
@@ -82,8 +90,9 @@ def _bench_chained(solver, args, reps=5, rounds=2):
         t0 = time.perf_counter()
         for _ in range(R):
             r = solver(x, *args[1:])
-            x = x0 + zero * r.sol["z"][:, :n]
-        np.asarray(r.k[:1])
+            x = x0 + zero * r.k[:1].astype(jnp.float32).reshape(1, 1)
+        jax.block_until_ready(x)
+        np.asarray(x[:1, :1])
         return time.perf_counter() - t0
     dts = [chain(reps) / reps for _ in range(rounds)]
     return round(x0.shape[0] / min(dts), 1)

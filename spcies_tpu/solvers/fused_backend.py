@@ -53,6 +53,16 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
     # window — removes the inner loop's ~40%-of-iteration overhead
     # (MICROBENCH_r05); False restores the r04 looped window for A/B
     unroll_window = bool(opt.solver.get("unroll_window", True))
+    # sort_lanes: order lanes by a difficulty proxy before tiling so each
+    # tile drains at ~its own mean k instead of the global max. A tile
+    # free-runs until its SLOWEST lane converges; with the bench k
+    # distribution that wastes 1.49x k_mean of iterations, and sorting by
+    # the initial primal residual recovers most of it (proxy-sorted tile
+    # cost 190 vs 255 unsorted vs 181 oracle-sorted at tile_b=256).
+    # Results are permuted back; in exact-k mode per-lane outputs are
+    # bit-identical regardless of tile composition (the replay
+    # reconstructs each lane's exit from its own window snapshots).
+    sort_lanes = bool(opt.solver.get("sort_lanes", False))
 
     nzp = _round_up(nz, 128)
     M_q_pad = np.zeros((nzp, nzp), dtype=np.float32)
@@ -79,6 +89,20 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
             _, v0, lam0 = init
         z1 = (q_ref + lam0 - rho * v0) @ M_q.T + aux_b
 
+        order = None
+        if sort_lanes and Bsz > tile_b:
+            # difficulty proxy: the initial primal infeasibility
+            # max|z1 - clip(z1)| (z1 is already in hand — zero extra
+            # solves); monotone-ish in the eventual per-lane k
+            LBv = jnp.asarray(LB_pad[0, :nz])
+            UBv = jnp.asarray(UB_pad[0, :nz])
+            proxy = jnp.max(
+                jnp.abs(z1 - jnp.clip(z1, LBv, UBv)), axis=1)
+            order = jnp.argsort(proxy)
+            z1 = jnp.take(z1, order, axis=0)
+            v0 = jnp.take(v0, order, axis=0)
+            lam0 = jnp.take(lam0, order, axis=0)
+
         Bp = _round_up(Bsz, tile_b)
         pad_cfg = ((0, Bp - Bsz), (0, nzp - nz))
         z1p = jnp.pad(z1, pad_cfg)
@@ -93,9 +117,16 @@ def build_fused_box_admm_solve(ing, opt, dtype, *, make_q_ref, make_aux_b,
                 check_every=check_every, exact_k=exact_k,
                 interleave=interleave, unroll_window=unroll_window,
                 fixed_iters=int(fixed_iters or 0), interpret=interpret)
+        z, v, lam = z[:Bsz], v[:Bsz], lam[:Bsz]
+        k, e_flag, r_p, r_d = k[:Bsz], e_flag[:Bsz], r_p[:Bsz], r_d[:Bsz]
+        if order is not None:
+            inv = jnp.argsort(order)
+            z, v, lam = (jnp.take(a, inv, axis=0) for a in (z, v, lam))
+            k, e_flag, r_p, r_d = (jnp.take(a, inv, axis=0)
+                                   for a in (k, e_flag, r_p, r_d))
         return SolveResult(
-            u=v[:Bsz, u_start:u_start + m], k=k[:Bsz], e_flag=e_flag[:Bsz],
-            sol=dict(z=z[:Bsz, :nz], v=v[:Bsz, :nz], lam=lam[:Bsz, :nz],
-                     r_p=r_p[:Bsz], r_d=r_d[:Bsz]))
+            u=v[:, u_start:u_start + m], k=k, e_flag=e_flag,
+            sol=dict(z=z[:, :nz], v=v[:, :nz], lam=lam[:, :nz],
+                     r_p=r_p, r_d=r_d))
 
     return _solve

@@ -255,3 +255,26 @@ def test_fused_check_every_respects_k_max(fixture):
     res = s(x0, np.tile(st["xr"], (B, 1)), np.tile(st["ur"], (B, 1)))
     assert np.all(np.asarray(res.e_flag) == -1)
     assert np.all(np.asarray(res.k) <= 10)
+
+
+def test_fused_sort_lanes_bit_exact(fixture):
+    """sort_lanes (difficulty-ordered tiling, the tile-drain fix): per-
+    lane results must be bit-identical to the dense loop in exact-k mode
+    — tile composition only changes how long free-run windows run, and
+    the replay reconstructs each lane's exit from its own snapshots."""
+    sys, param, st = fixture
+    rng = np.random.default_rng(9)
+    B = 32
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    s_f, s_d = _solvers(sys, param, check_every=8, exact_k=True,
+                        sort_lanes=True)
+    rf = s_f(x0, xr, ur)
+    rd = s_d(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(rf.k), np.asarray(rd.k))
+    np.testing.assert_array_equal(np.asarray(rf.e_flag),
+                                  np.asarray(rd.e_flag))
+    for key in ("z", "v", "lam"):
+        np.testing.assert_array_equal(np.asarray(rf.sol[key]),
+                                      np.asarray(rd.sol[key]))
