@@ -142,13 +142,23 @@ def main():
         return sp.make_solver(sys_, param30, formulation="laxMPC",
                               method="ADMM", options=o, backend=backend)
 
+    def no_timing(solver):
+        # the chained metric needs async dispatch: Options.timing (default
+        # True, the MEASURE_TIME analogue) makes __call__ block per call
+        # for the phase stamps, which re-serializes the chain
+        import copy
+        s2 = copy.copy(solver)
+        s2.options = copy.copy(solver.options)
+        s2.options.timing = False
+        return s2
+
     backend_used = "fused-exact-k-unrolled"
     try:
         head_solver = build_lax("fused", tile_b=256, check_every=16,
                                 exact_k=True)
         head = _bench_solver(head_solver, (X0, XR, UR), reps=7)
         head["solves_per_s_chained"] = _bench_chained(
-            head_solver, (X0, XR, UR))
+            no_timing(head_solver), (X0, XR, UR))
     except Exception:
         backend_used = "dense-fallback"
         head = _bench_solver(build_lax("dense"), (X0, XR, UR), reps=7)
@@ -163,7 +173,7 @@ def main():
                                 exact_k=True, unroll_window=False)
         ctrl = _bench_solver(ctrl_solver, (X0, XR, UR), reps=7)
         ctrl["solves_per_s_chained"] = _bench_chained(
-            ctrl_solver, (X0, XR, UR))
+            no_timing(ctrl_solver), (X0, XR, UR))
         fam["control-r03-frozen"] = dict(ctrl, backend="fused-exact-k-looped")
     except Exception as e:
         fam["control-r03-frozen"] = dict(error=str(e)[:160])
@@ -390,10 +400,16 @@ def main():
         except Exception as e:
             fam[label] = dict(error=str(e)[:160])
 
+    # polish budget 2500: the hardest measured floor state needs ~1450
+    # compensated iterations beyond its k_max exit (fp64 reference k).
+    # With it the CPU-f32 cold rollout converges 25600/25600; on TPU a
+    # ~0.3% residual remains (the multi-pass "highest" matmul composition
+    # floors slightly above true f32). The SERVING configuration — the
+    # shift rows below — converges 100% on TPU with no polish at all.
     s_cold = sp.make_solver(
         sys_, param30, formulation="laxMPC", method="ADMM",
         options=opts("laxMPC", "ADMM", rho=10.0, tol=TOL, k_max=K_MAX,
-                     relax_alpha=1.9, straggler_polish=1000))
+                     relax_alpha=1.9, straggler_polish=2500))
     cl_row("closed-loop-cold", s_cold, False, "dense+polish")
     s_wm = sp.make_solver(
         sys_, param30, formulation="laxMPC", method="ADMM",
