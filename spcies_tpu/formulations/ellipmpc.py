@@ -553,7 +553,9 @@ def _build_ellipmpc_soc_fused(ing, opt) -> BatchedSolver:
                 aux1p, zs0p, lm0p, M1P, LB_head, UB_head, e0_row,
                 scale_row, iscale_row, tol_p=tol_p, tol_d=tol_d,
                 k_max=k_max, dim_p=dim_p, tile_b=tile_b,
-                check_every=check_every, interpret=interpret)
+                check_every=check_every,
+                exact_k=bool(opt.solver.get("exact_k", False)),
+                interpret=interpret)
         zs_o = jnp.take(zs[:Bsz], pos_full_j, axis=1)
         lm_o = jnp.take(lm[:Bsz], pos_full_j, axis=1)
         aux_o = jnp.take(aux[:Bsz], pos_full_j, axis=1)

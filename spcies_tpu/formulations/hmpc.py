@@ -384,7 +384,9 @@ def _build_hmpc_admm_fused(ing, opt, M1_np, M2_np, make_q=None,
                 z1p, s0p, lam0p, CT_pad, MC_pad, d_pp, blb, bub, lby, uby,
                 rho=rho_f, tol_p=tol_p, tol_d=tol_d, k_max=k_max,
                 use_soc=use_soc, n_boxp=n_boxp, cp=cp, tile_b=tile_b,
-                check_every=check_every, interpret=interpret)
+                check_every=check_every,
+                exact_k=bool(opt.solver.get("exact_k", False)),
+                interpret=interpret)
         s_out = jnp.take(s_pad[:Bsz], pos_j, axis=1)
         lam_out = jnp.take(lam_pad[:Bsz], pos_j, axis=1)
         return SolveResult(

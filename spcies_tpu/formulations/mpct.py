@@ -228,7 +228,9 @@ def _build_mpct_eadmm_fused(ing, opt):
              r_pf, r_z2, r_z3) = fused_eadmm_solve(
                 x0b, z2refb, z2b0, z30, lm0, lht0, *consts,
                 tol=tol, k_max=k_max, tile_b=tile_b,
-                check_every=check_every, interpret=interpret)
+                check_every=check_every,
+                exact_k=bool(opt.solver.get("exact_k", False)),
+                interpret=interpret)
         lam = jnp.concatenate(
             [lht[:Bsz, :n], lm[:Bsz, :nz1], lht[:Bsz, N * nm:nz1]],
             axis=-1)

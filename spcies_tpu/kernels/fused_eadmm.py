@@ -55,7 +55,7 @@ def _fused_eadmm_kernel(x0b_ref, z2refb_ref, z2b0_ref, z30_ref,
                         z1_ref, z2b_ref, z3_ref, lm_ref, lht_ref,
                         k_ref, done_ref, rpf_ref, rz2_ref, rz3_ref,
                         red_scratch,
-                        *, tol, k_max, check_every):
+                        *, tol, k_max, check_every, exact_k=False):
     x0b = x0b_ref[:]         # [tile_b, Z]  x0 at head lanes
     z2refb = z2refb_ref[:]   # [tile_b, Z]  q2_ref W2' broadcast
     z2b = z2b0_ref[:]
@@ -125,6 +125,84 @@ def _fused_eadmm_kernel(x0b_ref, z2refb_ref, z2b0_ref, z30_ref,
     z1 = z2b * 0.0
     zero = z2b * 0.0
     z2acc0 = z2refb
+    if check_every > 1 and exact_k:
+        # exact-k free-run (kernels/fused_admm.py pattern): unrolled
+        # windows snapshotting the FULL 9-leaf in-loop state at each
+        # lane's convergence-window start, then a per-iteration replay
+        # with the exact-mode freeze blending — bit-identical to
+        # check_every=1. The snapshots double the VMEM state; use
+        # tile_b <= 256.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, st, sn) = carry
+            a = 1.0 - done
+            na = done
+            sn = tuple(a * x + na * s for x, s in zip(st, sn))
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+
+            def step(c):
+                z2b, z3, lm, lht, z2acc, z3acc, v2m_p, v2t_p, q3_p = c
+                (_z1n, z2bn, z3n, lm_n, lht_n, v2m, v2t, q3,
+                 *_rest) = iterate(z2b, z3, lm, lht, z2acc, z3acc,
+                                   v2m_p, v2t_p, q3_p)
+                return (z2bn, z3n, lm_n, lht_n, z2bn, z3n, v2m, v2t, q3)
+
+            for _ in range(check_every - 1):
+                st = step(st)
+            (z1n, z2bn, z3n, lm_n, lht_n, v2m, v2t, q3, midR, htR,
+             dz2, dz3) = iterate(*st)
+            r_pf, r_z2, r_z3 = residuals(midR, htR, dz2, dz3)
+            conv = ((r_pf <= tol) & (r_z2 <= tol)
+                    & (r_z3 <= tol)).astype(jnp.float32)
+            st = (z2bn, z3n, lm_n, lht_n, z2bn, z3n, v2m, v2t, q3)
+            return (it + check_every, jnp.maximum(done, a * conv), kws,
+                    st, sn)
+
+        def cond_e(carry):
+            it, done = carry[0], carry[1]
+            return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+        st0 = (z2b, z3, lm, lht, z2acc0, zero, zero, zero, zero)
+        (_it, done_fr, kws, _st, sn) = jax.lax.while_loop(
+            cond_e, body_e, (jnp.int32(0), done0, k0, st0, st0))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, z1c, st, rpf, rz2, rz3) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            (z1n, z2bn, z3n, lm_n, lht_n, v2m, v2t, q3, midR, htR,
+             dz2, dz3) = iterate(*st)
+            r_pf, r_z2, r_z3 = residuals(midR, htR, dz2, dz3)
+            conv = ((r_pf <= tol) & (r_z2 <= tol)
+                    & (r_z3 <= tol)).astype(jnp.float32)
+            new = (z2bn, z3n, lm_n, lht_n, z2bn, z3n, v2m, v2t, q3)
+            st = tuple(act * x + na * s for x, s in zip(new, st))
+            return (jnp.maximum(convd, act * conv), k2 + act,
+                    act * z1n + na * z1c, st,
+                    act * r_pf + na * rpf, act * r_z2 + na * rz2,
+                    act * r_z3 + na * rz3)
+
+        convd, k2, z1, st, rpf, rz2, rz3 = jax.lax.fori_loop(
+            0, check_every, body_r,
+            (done0, kws, z1, sn, rbig, rbig, rbig))
+        z2b, z3, lm, lht = st[0], st[1], st[2], st[3]
+        z1_ref[:] = z1
+        z2b_ref[:] = z2b
+        z3_ref[:] = z3
+        lm_ref[:] = lm
+        lht_ref[:] = lht
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rpf_ref[:] = rpf
+        rz2_ref[:] = rz2
+        rz3_ref[:] = rz3
+        return
+
     if check_every > 1:
         def body_f(carry):
             (it, done, k, _z1, z2b, z3, lm, lht,
@@ -207,6 +285,7 @@ def fused_eadmm_solve(x0b, z2refb, z2b0, z30, lm0, lht0,
                       mr_row, h1i_row, lb_row, ub_row, *,
                       tol: float, k_max: int,
                       tile_b: int = 256, check_every: int = 1,
+                      exact_k: bool = False,
                       interpret: bool = False):
     """Run the fused EADMM loop in the broadcast lane layout.
     Returns (z1, z2b, z3, lm, lht, k [B], e_flag [B], r_pf, r_z2, r_z3)."""
@@ -215,7 +294,7 @@ def fused_eadmm_solve(x0b, z2refb, z2b0, z30, lm0, lht0,
     grid = (B // tile_b,)
     kernel = functools.partial(
         _fused_eadmm_kernel, tol=float(tol), k_max=int(k_max),
-        check_every=int(check_every))
+        check_every=int(check_every), exact_k=bool(exact_k))
 
     tile = pl.BlockSpec((tile_b, Z), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -59,7 +59,7 @@ def _fused_hmpc_kernel(z1_ref, s0_ref, lam0_ref, ct_ref, mc_ref, d_ref,
                        z_ref, s_ref, lam_ref, k_ref, done_ref,
                        rp_ref, rd_ref, red_scratch,
                        *, rho, rho_i, tol_p, tol_d, k_max, use_soc,
-                       n_boxp, cp, check_every):
+                       n_boxp, cp, check_every, exact_k=False):
     z = z1_ref[:]
     s = s0_ref[:]
     lam = lam0_ref[:]
@@ -113,6 +113,75 @@ def _fused_hmpc_kernel(z1_ref, s0_ref, lam0_ref, ct_ref, mc_ref, d_ref,
     def cond(carry):
         it, done = carry[0], carry[1]
         return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+    if check_every > 1 and exact_k:
+        # exact-k free-run (kernels/fused_admm.py pattern, VERDICT r4
+        # next-#5 extension): statically-unrolled windows snapshotting
+        # each lane's (z, s, lam) at the start of its convergence
+        # window, then a per-iteration replay with the exact-mode freeze
+        # blending — k, e_flag and exit iterates bit-identical to the
+        # check_every=1 path.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, z, s, lam, sz, ss, sl) = carry
+            a = 1.0 - done
+            na = done
+            sz = a * z + na * sz
+            ss = a * s + na * ss
+            sl = a * lam + na * sl
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            for _ in range(check_every - 1):
+                z, s, lam, _r, _d2 = iterate(z, s, lam)
+            z_new, s_new, lam_new, resid, ds = iterate(z, s, lam)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(resid), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(ds), axis=1,
+                                          keepdims=True)
+            conv = ((red_scratch[:, 0:1] <= tol_p)
+                    & (red_scratch[:, 1:2] <= tol_d)).astype(jnp.float32)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, kws, z_new, s_new,
+                    lam_new, sz, ss, sl)
+
+        (_it, done_fr, kws, _z2, _s2, _l2, sz, ss, sl) = \
+            jax.lax.while_loop(
+                cond, body_e,
+                (jnp.int32(0), done0, k0, z, s, lam, z, s, lam))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, z_cons, z_next, s, lam, rp, rd) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            z_next2, s_new, lam_new, resid, ds = iterate(z_next, s, lam)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(resid), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(ds), axis=1,
+                                          keepdims=True)
+            r_p = red_scratch[:, 0:1]
+            r_d = red_scratch[:, 1:2]
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            return (jnp.maximum(convd, act * conv), k2 + act,
+                    act * z_next + na * z_cons,
+                    act * z_next2 + na * z_next,
+                    act * s_new + na * s, act * lam_new + na * lam,
+                    act * r_p + na * rp, act * r_d + na * rd)
+
+        convd, k2, z, _zn2, s, lam, rp, rd = jax.lax.fori_loop(
+            0, check_every, body_r, (done0, kws, sz, sz, ss, sl,
+                                     rbig, rbig))
+        z_ref[:] = z
+        s_ref[:] = s
+        lam_ref[:] = lam
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rp_ref[:] = rp
+        rd_ref[:] = rd
+        return
 
     if check_every > 1:
         # free-running mode (fused_admm semantics): plain iterations
@@ -189,6 +258,7 @@ def fused_hmpc_solve(z1, s0, lam0, CT_pad, MC_pad, d_pad, box_lb, box_ub,
                      lby, uby, *, rho: float, tol_p: float, tol_d: float,
                      k_max: int, use_soc: bool, n_boxp: int, cp: int,
                      tile_b: int = 256, check_every: int = 1,
+                     exact_k: bool = False,
                      interpret: bool = False):
     """Run the fused single-split cone-ADMM loop in the segment layout.
 
@@ -211,7 +281,7 @@ def fused_hmpc_solve(z1, s0, lam0, CT_pad, MC_pad, d_pad, box_lb, box_ub,
         _fused_hmpc_kernel, rho=float(rho), rho_i=float(1.0 / rho),
         tol_p=float(tol_p), tol_d=float(tol_d), k_max=k_max,
         use_soc=bool(use_soc), n_boxp=n_boxp, cp=cp,
-        check_every=int(check_every))
+        check_every=int(check_every), exact_k=bool(exact_k))
 
     ztile = pl.BlockSpec((tile_b, dim_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

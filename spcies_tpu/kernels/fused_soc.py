@@ -44,7 +44,7 @@ def _fused_soc_kernel(aux1_ref, zs0_ref, lm0_ref, m1p_ref,
                       scale_ref, iscale_ref,
                       zs_ref, lm_ref, aux_ref, k_ref, done_ref,
                       rp_ref, rd_ref, red_scratch,
-                      *, tol_p, tol_d, k_max, dim_p, check_every):
+                      *, tol_p, tol_d, k_max, dim_p, check_every, exact_k=False):
     aux = aux1_ref[:]        # [tile_b, P]  current (z_hat, s_hat)
     zs = zs0_ref[:]          # [tile_b, P]  projected (z, s)
     lm = lm0_ref[:]          # [tile_b, P]  duals (lam, mu)
@@ -93,6 +93,72 @@ def _fused_soc_kernel(aux1_ref, zs0_ref, lm0_ref, m1p_ref,
     def cond(carry):
         it, done = carry[0], carry[1]
         return jnp.logical_and(it < k_max, jnp.min(done) < 0.5)
+
+    if check_every > 1 and exact_k:
+        # exact-k free-run (kernels/fused_admm.py pattern): unrolled
+        # windows + window-start (aux, zs, lm) snapshots, per-iteration
+        # replay with freeze blending — bit-identical to check_every=1.
+        kmaxf = float(k_max)
+
+        def body_e(carry):
+            (it, done, kws, aux, zs, lm, sa, szs, slm) = carry
+            a = 1.0 - done
+            na = done
+            sa = a * aux + na * sa
+            szs = a * zs + na * szs
+            slm = a * lm + na * slm
+            kws = a * (lane0 + it.astype(jnp.float32)) + na * kws
+            for _ in range(check_every - 1):
+                aux, zs, lm, _dp, _dd = iterate(aux, zs, lm)
+            aux2, zs2, lm2, dp, dd = iterate(aux, zs, lm)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(dd), axis=1,
+                                          keepdims=True)
+            conv = ((red_scratch[:, 0:1] <= tol_p)
+                    & (red_scratch[:, 1:2] <= tol_d)).astype(jnp.float32)
+            done_out = jnp.maximum(done, a * conv)
+            return (it + check_every, done_out, kws, aux2, zs2, lm2,
+                    sa, szs, slm)
+
+        (_it, done_fr, kws, _a2, _z2, _l2, sa, szs, slm) = \
+            jax.lax.while_loop(
+                cond, body_e,
+                (jnp.int32(0), done0, k0, aux, zs, lm, aux, zs, lm))
+
+        budget = jnp.minimum(lane0 + float(check_every), kmaxf - kws)
+
+        def body_r(j, carry):
+            (convd, k2, aux_cons, aux_next, zs, lm, rp, rd) = carry
+            within = ((lane0 + j.astype(jnp.float32))
+                      < budget).astype(jnp.float32)
+            act = (1.0 - convd) * within
+            na = 1.0 - act
+            aux2, zs2, lm2, dp, dd = iterate(aux_next, zs, lm)
+            red_scratch[:, 0:1] = jnp.max(jnp.abs(dp), axis=1,
+                                          keepdims=True)
+            red_scratch[:, 1:2] = jnp.max(jnp.abs(dd), axis=1,
+                                          keepdims=True)
+            r_p = red_scratch[:, 0:1]
+            r_d = red_scratch[:, 1:2]
+            conv = ((r_p <= tol_p) & (r_d <= tol_d)).astype(jnp.float32)
+            return (jnp.maximum(convd, act * conv), k2 + act,
+                    act * aux_next + na * aux_cons,
+                    act * aux2 + na * aux_next,
+                    act * zs2 + na * zs, act * lm2 + na * lm,
+                    act * r_p + na * rp, act * r_d + na * rd)
+
+        convd, k2, aux, _an, zs, lm, rp, rd = jax.lax.fori_loop(
+            0, check_every, body_r, (done0, kws, sa, sa, szs, slm,
+                                     rbig, rbig))
+        zs_ref[:] = zs
+        lm_ref[:] = lm
+        aux_ref[:] = aux
+        k_ref[:] = k2.astype(jnp.int32)
+        done_ref[:] = (convd > 0.5).astype(jnp.int32)
+        rp_ref[:] = rp
+        rd_ref[:] = rd
+        return
 
     if check_every > 1:
         def body_f(carry):
@@ -167,6 +233,7 @@ def fused_soc_solve(aux1, zs0, lm0, M1P_pad, LB_head, UB_head, e0_row,
                     scale_row, iscale_row, *,
                     tol_p: float, tol_d: float, k_max: int, dim_p: int,
                     tile_b: int = 256, check_every: int = 1,
+                    exact_k: bool = False,
                     interpret: bool = False):
     """Run the fused slack-SOC split ADMM loop in the concatenated layout
     [z (dim_p) | s (P - dim_p)]. Returns (zs, lm, aux, k, e_flag, r_p,
@@ -177,7 +244,8 @@ def fused_soc_solve(aux1, zs0, lm0, M1P_pad, LB_head, UB_head, e0_row,
     sp = P - dim_p
     kernel = functools.partial(
         _fused_soc_kernel, tol_p=float(tol_p), tol_d=float(tol_d),
-        k_max=int(k_max), dim_p=dim_p, check_every=int(check_every))
+        k_max=int(k_max), dim_p=dim_p, check_every=int(check_every),
+        exact_k=bool(exact_k))
 
     tile = pl.BlockSpec((tile_b, P), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

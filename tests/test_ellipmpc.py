@@ -344,3 +344,39 @@ def test_fused_exact_k(fixture):
     for key in ("z", "v", "lam"):
         np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
                                       np.asarray(r2c.sol[key]))
+
+
+def test_soc_fused_exact_k(fixture):
+    """exact_k for the slack-SOC split kernel: bit-identical to its own
+    check_every=1 exact mode, including the k_max-capped path."""
+    sys, param, st = fixture
+    kw = dict(rho=5.0, sigma=4.0, tol_p=1e-5, tol_d=1e-5, k_max=3000)
+
+    def build(**extra):
+        o = sp.default_options("ellipMPC", "ADMM", "soc",
+                               pallas_interpret=True, tile_b=8,
+                               **{**kw, **extra})
+        o.precision = "float"
+        return sp.make_solver(sys, param, formulation="ellipMPC",
+                              method="ADMM", submethod="soc",
+                              backend="fused", options=o)
+
+    B = 8
+    rng = np.random.default_rng(21)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    r_run = np.full((B, 1), 0.5)
+    r1 = build()(x0, xr, ur, r_run)
+    r2 = build(check_every=8, exact_k=True)(x0, xr, ur, r_run)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    np.testing.assert_array_equal(np.asarray(r1.e_flag),
+                                  np.asarray(r2.e_flag))
+    for key in r1.sol:
+        if hasattr(r1.sol[key], "shape"):
+            np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                          np.asarray(r2.sol[key]))
+    r1c = build(tol_p=1e-13, tol_d=1e-13, k_max=19)(x0, xr, ur, r_run)
+    r2c = build(tol_p=1e-13, tol_d=1e-13, k_max=19, check_every=8,
+                exact_k=True)(x0, xr, ur, r_run)
+    np.testing.assert_array_equal(np.asarray(r1c.k), np.asarray(r2c.k))

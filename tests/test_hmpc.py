@@ -379,3 +379,42 @@ def test_fused_split_exact_k(fixture, method):
     for key in ("z", "s", "lam", "mu"):
         np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
                                       np.asarray(r2c.sol[key]))
+
+
+@pytest.mark.parametrize("use_soc", [False, True])
+def test_fused_single_exact_k(fixture, use_soc):
+    """exact_k free-run for the single-split cone kernel: bit-identical
+    to its own check_every=1 exact mode (k, e_flag, iterates), including
+    the k_max-capped path."""
+    sys, param, st = fixture
+    kw = dict(rho=2.0, sigma=20.0, tol_p=1e-5, tol_d=1e-5, k_max=3000,
+              use_soc=use_soc)
+
+    def build(**extra):
+        o = sp.default_options("HMPC", "ADMM", "",
+                               pallas_interpret=True, tile_b=8,
+                               **{**kw, **extra})
+        o.precision = "float"
+        return sp.make_solver(sys, param, formulation="HMPC",
+                              method="ADMM", backend="fused", options=o)
+
+    B = 8
+    rng = np.random.default_rng(17)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-1.5, 1.5, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    r1 = build()(x0, xr, ur)
+    r2 = build(check_every=8, exact_k=True)(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    np.testing.assert_array_equal(np.asarray(r1.e_flag),
+                                  np.asarray(r2.e_flag))
+    for key in ("z", "s", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                      np.asarray(r2.sol[key]))
+    r1c = build(tol_p=1e-13, tol_d=1e-13, k_max=19)(x0, xr, ur)
+    r2c = build(tol_p=1e-13, tol_d=1e-13, k_max=19, check_every=8,
+                exact_k=True)(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1c.k), np.asarray(r2c.k))
+    for key in ("z", "s", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
+                                      np.asarray(r2c.sol[key]))

@@ -163,3 +163,41 @@ def test_fused_requires_float(fixture):
     with pytest.raises(ValueError, match="fp32"):
         sp.make_solver(sys, param, formulation="MPCT", method="EADMM",
                        backend="fused", **OPTS)
+
+
+def test_eadmm_fused_exact_k(fixture):
+    """exact_k for the three-block EADMM kernel: bit-identical to its own
+    check_every=1 exact mode (full 9-leaf state snapshot + replay),
+    including the k_max-capped path."""
+    sys, param, st = fixture
+
+    def build(**extra):
+        kw = dict(rho_base=2.0, rho_mult=20.0, tol=1e-5, k_max=3000)
+        o = sp.default_options("MPCT", "EADMM", "",
+                               pallas_interpret=True, tile_b=8,
+                               **{**kw, **extra})
+        o.precision = "float"
+        return sp.make_solver(sys, param, formulation="MPCT",
+                              method="EADMM", backend="fused", options=o)
+
+    import numpy as np
+    B = 8
+    rng = np.random.default_rng(23)
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+    r1 = build()(x0, xr, ur)
+    r2 = build(check_every=8, exact_k=True)(x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1.k), np.asarray(r2.k))
+    np.testing.assert_array_equal(np.asarray(r1.e_flag),
+                                  np.asarray(r2.e_flag))
+    for key in ("z1", "z2", "z3", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1.sol[key]),
+                                      np.asarray(r2.sol[key]))
+    r1c = build(tol=1e-13, k_max=19)(x0, xr, ur)
+    r2c = build(tol=1e-13, k_max=19, check_every=8, exact_k=True)(
+        x0, xr, ur)
+    np.testing.assert_array_equal(np.asarray(r1c.k), np.asarray(r2c.k))
+    for key in ("z1", "z2", "z3", "lam"):
+        np.testing.assert_array_equal(np.asarray(r1c.sol[key]),
+                                      np.asarray(r2c.sol[key]))

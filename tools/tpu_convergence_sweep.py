@@ -315,6 +315,34 @@ for meth in ("ADMM", "SADMM"):
                          check_every=(16 if ek else 1), exact_k=ek)),
         x0k, xrk, urk)
 
+# r05b: the remaining fused kernels (12 of 13 triples now carry exact-k;
+# MPCT-semiband has no fused kernel by design)
+check_k_parity_kernel(
+    "HMPC-ADMM-exact-k-parity",
+    lambda ek: sp.make_solver(
+        sys_, pH_sw, formulation="HMPC", method="ADMM", backend="fused",
+        options=opts("HMPC", "ADMM", rho=2.0, sigma=20.0, tol_p=1e-4,
+                     tol_d=1e-4, k_max=2000, tile_b=256,
+                     check_every=(16 if ek else 1), exact_k=ek)),
+    x0k, xrk, urk)
+check_k_parity_kernel(
+    "MPCT-EADMM-exact-k-parity",
+    lambda ek: sp.make_solver(
+        sys_, pM, formulation="MPCT", method="EADMM", backend="fused",
+        options=opts("MPCT", "EADMM", rho_base=2.0, rho_mult=20.0,
+                     tol=1e-4, k_max=2000, tile_b=256,
+                     check_every=(16 if ek else 1), exact_k=ek)),
+    x0k, xrk, urk)
+check_k_parity_kernel(
+    "ellipMPC-soc-exact-k-parity",
+    lambda ek: sp.make_solver(
+        sys_, pC, formulation="ellipMPC", method="ADMM", submethod="soc",
+        backend="fused",
+        options=opts("ellipMPC", "ADMM", "soc", rho=5.0, sigma=4.0,
+                     tol_p=1e-4, tol_d=1e-4, k_max=2000, tile_b=256,
+                     check_every=(16 if ek else 1), exact_k=ek)),
+    x0k, xrk, urk, np.tile([0.5], (BK, 1)))
+
 ok = all(r["converged_frac"] == 1.0 for r in results.values())
 # pass = >=99.9% exact per-lane k match, or >=99.8% exact with EVERY
 # remaining lane within +-1 iteration (a tolerance-boundary flip from
