@@ -418,8 +418,10 @@ def main():
     cl_row("closed-loop-carry", s_wm, True, "dense")
     cl_row("closed-loop-shift", s_wm, "shift", "dense")
     try:
-        s_fu = build_lax("fused", tile_b=256, check_every=16, exact_k=True)
-        cl_row("closed-loop-shift-fused", s_fu, "shift", "fused-exact-k")
+        # head_solver IS this configuration — reuse it (no duplicate
+        # ingredient build / compile)
+        cl_row("closed-loop-shift-fused", head_solver, "shift",
+               "fused-exact-k")
     except Exception as e:
         fam["closed-loop-shift-fused"] = dict(error=str(e)[:160])
 

@@ -348,10 +348,16 @@ def _auto_backend(builder, sys, param, opt) -> BatchedSolver:
     key = "|".join(map(str, (
         opt.formulation, opt.method, opt.submethod, n_, m_,
         int(param.get("N", 0)), opt.precision, int(opt.time_varying),
+        int(bool(opt.debug)),
         dev.platform, getattr(dev, "device_kind", "?"),
         probe_b, probe_iters, probe_reps)))
     if not opt.solver.get("auto_probe_refresh", False):
         cached = _auto_cache_load().get(key)
+        # never serve a cached 'fused' winner to a debug build — genHist
+        # traces are structurally unavailable on the fused kernels, which
+        # is exactly why the probe path excludes them under debug
+        if cached == "fused" and opt.debug:
+            cached = None
         if cached is not None:
             try:
                 solver = builder(sys, param, opt, backend=cached)

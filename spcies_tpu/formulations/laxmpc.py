@@ -475,7 +475,7 @@ def _tv_admm_solver(sys, param, opt, *, terminal: bool):
     tol = float(opt.solver["tol"])
     k_max = int(opt.solver["k_max"])
     rho_f = opt.solver["rho"]
-    if not np.isscalar(rho_f):
+    if np.ndim(rho_f) != 0:
         raise ValueError("time-varying mode requires scalar rho "
                          "(cons_laxMPC_ADMM_C.m:47-52)")
     rho = dtype(float(rho_f))

@@ -178,6 +178,19 @@ def admm_solve(
         # of the reference C's double math exit contract
         # (code_laxMPC_ADMM_C.c:570-631).
         budget = int(straggler_polish)
+        # The continuation must consume the PREPARED next iterate
+        # (state['z_next']), not the consumed one — the delta-form
+        # recursion z_{k+1} = z_k + M_q dq_k has already folded dq_k into
+        # z_next, and seeding from the stale consumed z carries a
+        # permanent -M_q dq offset: the continuation then converges to a
+        # perturbed problem's fixed point while reporting e_flag=1
+        # (review finding r05; reproduced at |z - z_ref| = 0.259).
+        # Frozen (already-converged) lanes keep their consumed-z output
+        # for bit-parity — they never iterate in the polish, so their
+        # seed IS their output.
+        z_prep = state["z_next"]
+        e_mask = (e_flag == 1).reshape((batch,) + (1,) * (z_res.ndim - 1))
+        z_seed = jnp.where(e_mask, z_res, z_prep)
 
         def _two_sum(a, b):
             s = a + b
@@ -238,8 +251,10 @@ def admm_solve(
             return (st["z"] + st["z_lo"], st["v"],
                     st["lam"] + st["lam_lo"], k, e, st["r_p"], st["r_d"])
 
-        args = (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res)
+        args = (z_seed, v_res, lam_res, k, e_flag, r_p_res, r_d_res)
+        noop = (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res)
         (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res) = jax.lax.cond(
-            jnp.any(e_flag != 1), _polish, lambda a: a, args)
+            jnp.any(e_flag != 1), lambda a: _polish(a), lambda a: noop,
+            args)
 
     return (z_res, v_res, lam_res, k, e_flag, r_p_res, r_d_res, hist)

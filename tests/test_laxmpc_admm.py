@@ -242,3 +242,36 @@ def test_straggler_polish_fixes_fp32_floor(fixture):
                                   np.asarray(r0.sol["z"][0]))
     np.testing.assert_array_equal(np.asarray(r1.sol["lam"][0]),
                                   np.asarray(r0.sol["lam"][0]))
+
+
+def test_straggler_polish_continues_exact_recursion(fixture):
+    """The compensated continuation must consume the PREPARED iterate
+    (state['z_next']) — seeding from the stale consumed z carries a
+    permanent -M_q dq offset and converges to a perturbed problem's
+    fixed point while reporting e_flag=1 (r05 review finding; reproduced
+    at |z - z_ref| = 0.259 before the fix). With the fix, a polished
+    run from a tiny k_max must land on the same solution as one
+    uninterrupted long run, and total iteration counts must agree to
+    the fp64-vs-compensated-f64 rounding level."""
+    sys, param, st = fixture
+    rng = np.random.default_rng(3)
+    B = 4
+    x0 = np.asarray(st["x"])[None, :] * rng.uniform(-2, 2, (B, 1))
+    xr = np.tile(st["xr"], (B, 1))
+    ur = np.tile(st["ur"], (B, 1))
+
+    def solve(k_max, polish):
+        s = sp.make_solver(sys, param, formulation="laxMPC",
+                           method="ADMM", rho=15.0, tol=1e-9,
+                           k_max=k_max, straggler_polish=polish)
+        return s(x0, xr, ur)
+
+    ref = solve(20000, 0)
+    pol = solve(50, 20000)
+    assert np.all(np.asarray(pol.e_flag) == 1)
+    # identical recursion => identical exit points (fp64 + exact
+    # two-sum continuation: bit-level agreement expected; allow ulp)
+    np.testing.assert_allclose(np.asarray(pol.sol["z"]),
+                               np.asarray(ref.sol["z"]),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(pol.k), np.asarray(ref.k))
