@@ -211,10 +211,21 @@ def main():
     def family(name, make, backends, args, reps=3):
         row, per = None, {}
         for be in backends:
-            try:
-                r = _bench_solver(make(be), args, reps=reps)
-            except Exception as e:
-                per[be] = dict(error=str(e)[:160])
+            # one retry after a pause: the dev tunnel's remote compile
+            # helper intermittently 500s under load (pallas programs
+            # don't hit the persistent compile cache, so every bench run
+            # recompiles ~26 fused programs); the same program compiles
+            # fine moments later
+            r = None
+            for attempt in range(2):
+                try:
+                    r = _bench_solver(make(be), args, reps=reps)
+                    break
+                except Exception as e:
+                    err = e
+                    time.sleep(10)
+            if r is None:
+                per[be] = dict(error=str(err)[:160])
                 continue
             per[be] = r["solves_per_s"]
             if row is None or r["solves_per_s"] > row["solves_per_s"]:
@@ -238,7 +249,11 @@ def main():
         run 4-10x more iterations at N=30 (e.g. equMPC rho=0.5: k=36 at
         N=10 but k=1954 at N=30; rho=6 + relaxation: k=136)."""
         ARGS = (X0f, XRf, URf)
-        ex = dict(exact_k=True)   # families with exact-k kernels use it
+        # exact-k families: tile_b<=256 (window snapshots cost VMEM) and
+        # k_max=4000 (the dev tunnel's Mosaic compile helper crashes on
+        # the k_max=5000 x check_every=8 exact-k programs specifically;
+        # 4000/4096 compile fine and every row converges at k << 1000)
+        ex = dict(exact_k=True)
         n30 = bool(tag)
         rho_equ = dict(rho=6.0, relax_alpha=1.8) if n30 else dict(rho=0.5)
         rho_ellip = 5.0 if n30 else 3.0
@@ -250,19 +265,19 @@ def main():
         pT["T"] = np.diag(np.sum(np.asarray(param["T"]), axis=1))
         family(f"laxMPC-FISTA{tag}", lambda be: sp.make_solver(
             sys_, pT, formulation="laxMPC", method="FISTA", backend=be,
-            options=opts("laxMPC", "FISTA", tol=TOL, k_max=5000,
+            options=opts("laxMPC", "FISTA", tol=TOL, k_max=4000,
                          restart=True, tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         pE = dict(par)
         pE.pop("T", None)
         family(f"equMPC-ADMM{tag}", lambda be: sp.make_solver(
             sys_, pE, formulation="equMPC", method="ADMM", backend=be,
-            options=opts("equMPC", "ADMM", tol=TOL, k_max=5000,
-                         tile_b=512, check_every=8, **rho_equ, **ex)),
+            options=opts("equMPC", "ADMM", tol=TOL, k_max=4000,
+                         tile_b=256, check_every=8, **rho_equ, **ex)),
             ("dense", "fused"), ARGS)
         family(f"equMPC-FISTA{tag}", lambda be: sp.make_solver(
             sys_, pE, formulation="equMPC", method="FISTA", backend=be,
-            options=opts("equMPC", "FISTA", tol=TOL, k_max=5000,
+            options=opts("equMPC", "FISTA", tol=TOL, k_max=4000,
                          tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         pM = dict(par)
@@ -277,7 +292,7 @@ def main():
             sys_, pM, formulation="MPCT", method="ADMM", submethod="cs",
             backend=be,
             options=opts("MPCT", "ADMM", "cs", rho=2.0, tol=TOL,
-                         k_max=5000, tile_b=512, check_every=8, **ex)),
+                         k_max=4000, tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         family(f"MPCT-ADMM-semiband{tag}", lambda be: sp.make_solver(
             sys_, pM, formulation="MPCT", method="ADMM",
@@ -293,7 +308,7 @@ def main():
         family(f"ellipMPC-ADMM{tag}", lambda be: sp.make_solver(
             sys_, pC, formulation="ellipMPC", method="ADMM", backend=be,
             options=opts("ellipMPC", "ADMM", rho=rho_ellip, tol=TOL,
-                         k_max=5000, tile_b=512, check_every=8, **ex)),
+                         k_max=4000, tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         R_RUN = dev(np.full((FB, 1), 0.5))
         family(f"ellipMPC-ADMM-soc{tag}", lambda be: sp.make_solver(
@@ -320,14 +335,14 @@ def main():
             submethod="split", backend=be,
             options=opts("HMPC", "ADMM", "split", rho=rho_split,
                          sigma=sig_split, tol_p=TOL, tol_d=TOL,
-                         k_max=5000, tile_b=256, check_every=8, **ex)),
+                         k_max=4000, tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         family(f"HMPC-SADMM-split{tag}", lambda be: sp.make_solver(
             sys_, pH, formulation="HMPC", method="SADMM",
             submethod="split", backend=be,
             options=opts("HMPC", "SADMM", "split", rho=rho_split,
                          sigma=sig_split, tol_p=TOL, tol_d=TOL,
-                         k_max=5000, tile_b=256, check_every=8, **ex)),
+                         k_max=4000, tile_b=256, check_every=8, **ex)),
             ("dense", "fused"), ARGS)
         # ellipHMPC: binding-cone scenario (per-lane sinusoidal position
         # references exceeding the coupled-output bounds)
