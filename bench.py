@@ -252,7 +252,13 @@ def main():
         # exact-k families: tile_b<=256 (window snapshots cost VMEM) and
         # k_max=4000 (the dev tunnel's Mosaic compile helper crashes on
         # the k_max=5000 x check_every=8 exact-k programs specifically;
-        # 4000/4096 compile fine and every row converges at k << 1000)
+        # 4000/4096 compile fine and every row converges at k << 1000).
+        # Known residual: the HMPC-split exact-k kernel (P=640 segment
+        # layout) crashes the remote compile helper at FB=8192 (any
+        # check_every) while compiling and passing at B<=4096 — the
+        # hardware capability is proven by SWEEP_r05's B=4096 parity
+        # rows; here the error is recorded and the dense row carries the
+        # family.
         ex = dict(exact_k=True)
         n30 = bool(tag)
         rho_equ = dict(rho=6.0, relax_alpha=1.8) if n30 else dict(rho=0.5)
